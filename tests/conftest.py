@@ -1,0 +1,36 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+The TPU compute path is validated on CPU here (float64 available, no TPU
+needed in CI); multi-chip sharding tests use the 8 virtual devices.  Real-TPU
+benchmarking lives in bench.py, not in the test suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def fixture_dir():
+    return os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def gaussvol_system(fixture_dir):
+    """The 264-atom reference fixture as an AGBNPParams + positions."""
+    from openmm_agbnp_plugin_tpu.io.gaussvol_dat import load_gaussvol_dat
+    from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+
+    pos, radius, charge, gamma, alpha, ish = load_gaussvol_dat(
+        os.path.join(fixture_dir, "gaussvol.dat"))
+    params = AGBNPParams(radius=radius, gamma=gamma, alpha=alpha,
+                         charge=charge, ishydrogen=ish)
+    return params, pos
