@@ -1,0 +1,174 @@
+"""Jittable GVolSA / AGBNP1 pipelines over the flattened overlap tree.
+
+This is the TPU compute path: a pure function of positions (parameters and
+spline tables passed as a pytree of arrays) that reproduces the reference
+pipeline (reference ReferenceAGBNPKernels.cpp:152-795, OpenCL launch
+sequences OpenCLAGBNPKernels.cpp:3229-4216) as one fused XLA computation:
+
+  build tree (large radii) -> reduce -> E_vol1, F1
+  rescan (vdW radii)       -> reduce -> E_vol2, F2, self volumes
+  Born radii (spline LUT)  -> GB self/pair + vdW dispersion + direct forces
+  BrW/BrU chain factors    -> descreening sweep -> W, U + direct forces
+  two gamma rescans        -> tree-propagated self-volume gradient forces
+
+Everything is static-shaped; forces are analytic (the same closed-form
+reverse chain the reference derives by hand), so a single jit call yields
+energy and forces with no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import born as B
+from ..ops import tree as T
+from .constants import sphere_volume
+from .i4_tables import I4LookupTables
+from .oracle import AGBNPParams
+
+
+def prepare_arrays(params: AGBNPParams, dtype=np.float64,
+                   pairs: tuple | None = None) -> dict:
+    """Build the pytree of parameter/table arrays consumed by the pipeline.
+
+    pairs: optional (i, j) candidate 2-body pairs; defaults to all i<j.
+    """
+    p = params
+    n = p.n
+    tables = I4LookupTables(p.radii_vdw, p.ishydrogen)
+    if pairs is None:
+        pairs = np.triu_indices(n, 1)
+    return dict(
+        radii_large=jnp.asarray(p.radii_large, dtype),
+        radii_vdw=jnp.asarray(p.radii_vdw, dtype),
+        gamma=jnp.asarray(p.gamma, dtype),
+        alpha=jnp.asarray(p.alpha, dtype),
+        charge=jnp.asarray(p.charge, dtype),
+        ishydrogen=jnp.asarray(p.ishydrogen, jnp.int32),
+        vol_large=jnp.asarray(
+            np.where(p.ishydrogen > 0, 0.0, sphere_volume(p.radii_large)), dtype),
+        vol_vdw=jnp.asarray(
+            np.where(p.ishydrogen > 0, 0.0, sphere_volume(p.radii_vdw)), dtype),
+        vol_vdw_all=jnp.asarray(sphere_volume(p.radii_vdw), dtype),
+        type_i=jnp.asarray(tables.type_screened, jnp.int32),
+        type_j=jnp.asarray(tables.type_screener, jnp.int32),
+        yflat=jnp.asarray(tables.yval.reshape(-1), dtype),
+        y2flat=jnp.asarray(tables.y2val.reshape(-1), dtype),
+        pairs_i=jnp.asarray(pairs[0], jnp.int32),
+        pairs_j=jnp.asarray(pairs[1], jnp.int32),
+    )
+
+
+def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float):
+    """Two-pass cavity evaluation.
+
+    Returns (e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2).
+    """
+    gamma_dr = a["gamma"] / roffset
+
+    lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
+                               gamma_dr, a["ishydrogen"])
+    levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"], caps)
+    red1 = T.reduce_tree(levels, lvl1_large)
+
+    lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
+                             -gamma_dr, a["ishydrogen"])
+    levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
+    red2 = T.reduce_tree(levels_vdw, lvl1_vdw)
+
+    e_cav = red1["energy"] + red2["energy"]
+    f_cav = -(red1["dr"] + red2["dr"])
+    return e_cav, f_cav, red2["self_volume"], levels_vdw, lvl1_vdw, diag, red1, red2
+
+
+def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
+                  roffset: float, ntypes_j: int, cutoff=None):
+    """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces."""
+    e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2 = \
+        tree_passes(a, pos, caps, roffset)
+
+    details = dict(e_vol1=red1["energy"], e_vol2=red2["energy"], e_cav=e_cav)
+    if version == 0:
+        return dict(energy=e_cav, force=f_cav, diag=diag, details=details)
+
+    # volume scaling factors (ReferenceAGBNPKernels.cpp:420-430)
+    s_factor = self_volume / a["vol_vdw_all"]
+
+    geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
+                        a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
+                        ntypes_j)
+    br = geom["born_radius"]
+
+    gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff)
+    e_vdw = B.vdw_energy(a["alpha"], br)
+
+    evdw_der_brw, egb_der_bru = B.born_chain_factors(
+        a["alpha"], a["charge"], br, geom["inv_br_fp"], gb["egb_der_Y"])
+
+    sweep = B.descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru)
+
+    # self-volume gradient components via the two gamma rescans
+    # (ReferenceAGBNPKernels.cpp:713-747)
+    lvl1_W = {**lvl1_vdw, "gamma1i": sweep["evdw_der_W"] / a["vol_vdw_all"]}
+    red_W = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_W), lvl1_W,
+                          with_volumes=False)
+    lvl1_U = {**lvl1_vdw, "gamma1i": sweep["egb_der_U"] / a["vol_vdw_all"]}
+    red_U = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_U), lvl1_U,
+                          with_volumes=False)
+
+    energy = e_cav + gb["gb_self"] + gb["gb_pair"] + e_vdw
+    force = (f_cav + gb["force"] + sweep["force"]
+             - red_W["dr"] - red_U["dr"])
+
+    details.update(gb_self=gb["gb_self"], gb_pair=gb["gb_pair"], e_vdw=e_vdw,
+                   born_radius=br, self_volume=self_volume, s_factor=s_factor)
+    return dict(energy=energy, force=force, diag=diag, details=details)
+
+
+class AGBNPModel:
+    """Prepared AGBNP system with a jit-compiled energy/forces entry point.
+
+    The public-facing fast path: mirrors what a Context bound to an
+    AGBNPForce provides in the reference (energy + forces per call), with the
+    whole pipeline fused under one jit.
+    """
+
+    def __init__(self, params: AGBNPParams, caps: T.TreeCaps | None = None,
+                 version: int = 1, cutoff: float | None = None,
+                 dtype=np.float64, pairs=None):
+        self.params = params
+        self.version = version
+        self.cutoff = cutoff
+        self.caps = caps or T.TreeCaps.for_natoms(params.n)
+        self.dtype = dtype
+        self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs)
+        self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
+        self._build_jit()
+
+    def _build_jit(self):
+        self._jit_ef = jax.jit(partial(
+            energy_forces, caps=self.caps, version=self.version,
+            roffset=self.params.roffset, ntypes_j=self.ntypes_j,
+            cutoff=self.cutoff))
+
+    def energy_forces(self, pos, with_details: bool = False):
+        out = self._jit_ef(self.arrays, jnp.asarray(pos, self.dtype))
+        if with_details:
+            return out["energy"], out["force"], out
+        return out["energy"], out["force"]
+
+    def check_and_grow(self, diag) -> bool:
+        """PanicButton: grow capacities if the last evaluation overflowed.
+        Returns True if a re-evaluation is needed."""
+        ov = T.check_overflow(diag)
+        if not ov["any"]:
+            return False
+        grow = [bool(c or s) for c, s in
+                zip(ov["cap_overflow"], ov["sib_overflow"])]
+        self.caps = self.caps.grow(grow)
+        self._build_jit()
+        return True

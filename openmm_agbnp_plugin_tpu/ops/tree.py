@@ -1,0 +1,387 @@
+"""Flattened fixed-shape Gaussian overlap tree for TPU (JAX/XLA).
+
+TPU-native redesign of the reference's recursive overlap tree
+(reference: gaussvol/gaussvol.cpp:103-519 for the CPU recursion and
+platforms/opencl/src/kernels/GVolOverlapTree.cl / GVolSelfVolume.cl for the
+GPU work-group version).  Instead of pointer-chasing recursion or spin-lock
+tree sections, each overlap level k (2..MAX_ORDER) is a dense padded array of
+nodes with a validity mask:
+
+  level k arrays [cap_k]: atom (last atom of the k-tuple), parent (index into
+  the level k-1 arrays), product Gaussian (gv, ga, gc), switched volume,
+  switch chain factor sfp, dV/dV_parent (dvv1), position-gradient piece dv1,
+  gamma sum gamma1i, valid.
+
+Construction is level-synchronous: level-(k+1) candidates are sibling pairs
+(nodes sharing a parent) enumerated with a static per-level sibling-offset
+window, overlapped with the partner's last-atom Gaussian, pruned by the
+switching threshold, and compacted with jnp.nonzero into the next level's
+capacity.  Each level is kept grouped by parent and volume-sorted within the
+group — the same descending-volume sibling order the reference fixes at
+creation (add_children, gaussvol.cpp:169-171) — because the sort decides
+under which sibling each deeper overlap is materialized and therefore which
+sibling pairs get enumerated next; with it, the materialized node sets match
+the reference exactly (verified node-for-node on the shipped fixtures).
+
+The bottom-up volume/energy/gradient reduction
+(gaussvol.cpp:400-519, GVolSelfVolume.cl:9-202) becomes per-level
+segment-sums: children's (psi, F, P) accumulators are gathered into parents
+level by level; the fixed-point atomic adds of the GPU version become
+deterministic `jax.ops.segment_sum`s.
+
+Capacity overflow is detected and reported (the PanicButton analogue,
+OpenCLAGBNPKernels.cpp:3598-3634): the host checks the returned diagnostics
+and rebuilds with larger capacities.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.constants import MAX_ORDER
+from .gaussians import atomic_gaussian_exponent, ogauss, survives
+
+# Levels 2..MAX_ORDER are stored; index l in tuples below is level l+2.
+NUM_TREE_LEVELS = MAX_ORDER - 1  # 7
+
+
+@dataclasses.dataclass(frozen=True)
+class TreeCaps:
+    """Static per-level capacities and sibling-offset windows.
+
+    caps[l]: max nodes at level l+2.
+    offs[l]: max sibling offset used when generating level l+3 from level l+2
+             (must be >= max surviving children-per-parent minus one).
+
+    Defaults derived from measured overlap statistics on the reference's
+    shipped systems (trpcage, 1li2 at large radii) with ~1.6x headroom, in
+    the spirit of the reference's tree_size_boost
+    (OpenCLAGBNPKernels.h:145).
+    """
+
+    caps: tuple
+    offs: tuple
+
+    @staticmethod
+    def for_natoms(natoms: int, boost: float = 1.0) -> "TreeCaps":
+        def r(x, align=128):
+            v = int(np.ceil(x * boost))
+            return max(align, (v + align - 1) // align * align)
+
+        caps = (r(12 * natoms), r(28 * natoms), r(26 * natoms),
+                r(14 * natoms), r(5 * natoms), r(1 * natoms), r(natoms // 2))
+        offs = (48, 32, 24, 16, 8, 4)
+        return TreeCaps(caps=caps, offs=offs)
+
+    def grow(self, level_overflows) -> "TreeCaps":
+        """Double capacities of overflowed levels (PanicButton resize)."""
+        caps = tuple(c * 2 if ov else c
+                     for c, ov in zip(self.caps, level_overflows))
+        return TreeCaps(caps=caps, offs=self.offs)
+
+
+def make_level1(pos, radius, volume, gamma, ishydrogen):
+    """Level-1 (atomic) node arrays.
+
+    Mirrors init_overlap_tree's 1-body seeding (gaussvol.cpp:129-148):
+    a = KFC/r^2, volume zeroed for hydrogens.
+    """
+    vol = jnp.where(ishydrogen > 0, 0.0, volume)
+    return dict(
+        gv=vol,
+        ga=atomic_gaussian_exponent(radius),
+        gc=pos,
+        gamma1i=gamma,
+    )
+
+
+def _compact(mask, fields, cap, parent_cap):
+    """Pack masked candidates into a fixed-capacity level, grouped by parent
+    and volume-sorted within each group.
+
+    The descending-volume sibling order matters: it decides under which
+    sibling each next-level overlap is materialized (add_children sorts
+    children by volume, gaussvol.cpp:169-171), and because overlap volumes
+    are not monotone with order for closely-packed atoms, the attachment
+    changes which sibling pairs are enumerated at the next level.
+    """
+    count = jnp.sum(mask)
+    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+    valid = jnp.arange(cap) < count
+
+    parent = jnp.where(valid, fields["parent"][idx], parent_cap)
+    volume = jnp.where(valid, fields["volume"][idx], 0.0)
+    perm = jnp.lexsort((-volume, parent))
+    idx = idx[perm]
+    valid = valid[perm]
+
+    out = {}
+    for key, val in fields.items():
+        g = val[idx]
+        if g.ndim == 2:
+            g = jnp.where(valid[:, None], g, jnp.zeros_like(g))
+        else:
+            g = jnp.where(valid, g, jnp.zeros_like(g))
+        out[key] = g
+    out["valid"] = valid
+    return out, count
+
+
+def _pair_candidates(level1, pairs_i, pairs_j):
+    """2-body overlaps for the given (i, j) candidate pairs (i-major order)."""
+    gi = dict(gv=level1["gv"][pairs_i], ga=level1["ga"][pairs_i],
+              gc=level1["gc"][pairs_i])
+    gj = dict(gv=level1["gv"][pairs_j], ga=level1["ga"][pairs_j],
+              gc=level1["gc"][pairs_j])
+    res = ogauss(gi["gv"], gi["ga"], gi["gc"], gj["gv"], gj["ga"], gj["gc"])
+    fields = dict(
+        atom=pairs_j.astype(jnp.int32),
+        parent=pairs_i.astype(jnp.int32),
+        gv=res["gv"], ga=res["ga"], gc=res["gc"],
+        volume=res["sgvol"], sfp=res["sfp"], dvv1=res["dVdV"],
+        dv1=(gj["gc"] - gi["gc"]) * (-res["dVdr"][:, None]),
+        gamma1i=level1["gamma1i"][pairs_i] + level1["gamma1i"][pairs_j],
+    )
+    return fields, survives(res["sgvol"])
+
+
+def _sibling_candidates(level, level1, offs):
+    """Candidate overlaps of each node with its next `offs` siblings.
+
+    Children of node s come from overlapping s's product Gaussian with the
+    last atoms of later siblings under the same parent
+    (compute_children, gaussvol.cpp:197-250).
+    """
+    cap = level["atom"].shape[0]
+    s = jnp.repeat(jnp.arange(cap), offs)
+    t = s + jnp.tile(jnp.arange(1, offs + 1), cap)
+    t_clamped = jnp.minimum(t, cap - 1)
+    pair_ok = ((t < cap)
+               & level["valid"][s] & level["valid"][t_clamped]
+               & (level["parent"][s] == level["parent"][t_clamped]))
+    atom2 = level["atom"][t_clamped]
+    a_gv = level1["gv"][atom2]
+    a_ga = level1["ga"][atom2]
+    a_gc = level1["gc"][atom2]
+    res = ogauss(level["gv"][s], level["ga"][s], level["gc"][s],
+                 a_gv, a_ga, a_gc)
+    fields = dict(
+        atom=atom2.astype(jnp.int32),
+        parent=s.astype(jnp.int32),
+        gv=res["gv"], ga=res["ga"], gc=res["gc"],
+        volume=res["sgvol"], sfp=res["sfp"], dvv1=res["dVdV"],
+        dv1=(a_gc - level["gc"][s]) * (-res["dVdr"][:, None]),
+        gamma1i=level["gamma1i"][s] + level1["gamma1i"][atom2],
+    )
+    return fields, pair_ok & survives(res["sgvol"])
+
+
+def _max_siblings(level, parent_cap):
+    """Largest number of surviving children under one parent."""
+    cnt = jax.ops.segment_sum(level["valid"].astype(jnp.int32),
+                              level["parent"], num_segments=parent_cap)
+    return jnp.max(cnt)
+
+
+def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps):
+    """Builds all overlap levels 2..MAX_ORDER.
+
+    pairs_i/pairs_j: candidate 2-body pairs (i < j), i-major order — from an
+    all-pairs enumeration or a neighbor list.  Returns (levels, diag) where
+    diag carries per-level counts and overflow indicators.
+    """
+    natoms = level1["gv"].shape[0]
+    levels = []
+    counts = []
+    sib_max = []
+
+    fields, mask = _pair_candidates(level1, pairs_i, pairs_j)
+    lvl, count = _compact(mask, fields, caps.caps[0], natoms)
+    levels.append(lvl)
+    counts.append(count)
+    sib_max.append(_max_siblings(lvl, natoms))
+
+    for l in range(1, NUM_TREE_LEVELS):
+        fields, mask = _sibling_candidates(levels[-1], level1, caps.offs[l - 1])
+        lvl, count = _compact(mask, fields, caps.caps[l], caps.caps[l - 1])
+        levels.append(lvl)
+        counts.append(count)
+        sib_max.append(_max_siblings(lvl, caps.caps[l - 1]))
+
+    diag = dict(
+        counts=jnp.stack(counts),
+        caps=jnp.array(caps.caps),
+        max_siblings=jnp.stack(sib_max),
+        offs=jnp.array(caps.offs + (0,)),
+    )
+    return tuple(levels), diag
+
+
+def check_overflow(diag) -> dict:
+    """Host-side PanicButton check. Returns numpy bools per level."""
+    counts = np.asarray(diag["counts"])
+    caps = np.asarray(diag["caps"])
+    sibs = np.asarray(diag["max_siblings"])
+    offs = np.asarray(diag["offs"])
+    cap_overflow = counts > caps
+    sib_overflow = np.zeros_like(cap_overflow)
+    sib_overflow[:-1] = (sibs[:-1] - 1) > offs[:-1]
+    return dict(cap_overflow=cap_overflow, sib_overflow=sib_overflow,
+                any=bool(cap_overflow.any() or sib_overflow.any()))
+
+
+def rescan_volumes(levels, level1):
+    """Recompute all node volumes/Gaussians on the fixed topology.
+
+    The analogue of rescan_tree_v (gaussvol.cpp:254-327): new level-1 data
+    (radii/volumes/gammas), same parent/atom indices, no re-pruning.
+    """
+    new_levels = []
+    parent_arrays = level1
+    for lvl in levels:
+        p = lvl["parent"]
+        atom = lvl["atom"]
+        res = ogauss(parent_arrays["gv"][p], parent_arrays["ga"][p],
+                     parent_arrays["gc"][p],
+                     level1["gv"][atom], level1["ga"][atom], level1["gc"][atom])
+        new_lvl = dict(
+            atom=atom, parent=p, valid=lvl["valid"],
+            gv=res["gv"], ga=res["ga"], gc=res["gc"],
+            volume=res["sgvol"], sfp=res["sfp"], dvv1=res["dVdV"],
+            dv1=(level1["gc"][atom] - parent_arrays["gc"][p]) * (-res["dVdr"][:, None]),
+            gamma1i=parent_arrays["gamma1i"][p] + level1["gamma1i"][atom],
+        )
+        new_levels.append(new_lvl)
+        parent_arrays = new_lvl
+    return tuple(new_levels)
+
+
+def rescan_gammas(levels, level1):
+    """Propagate new per-atom gammas down the fixed topology
+    (rescan_tree_g, gaussvol.cpp:330-372)."""
+    new_levels = []
+    parent_gamma = level1["gamma1i"]
+    for lvl in levels:
+        g = parent_gamma[lvl["parent"]] + level1["gamma1i"][lvl["atom"]]
+        new_levels.append({**lvl, "gamma1i": g})
+        parent_gamma = g
+    return tuple(new_levels)
+
+
+def reduce_tree(levels, level1, with_volumes: bool = True):
+    """Bottom-up reduction: energy, gradients, free/self volumes.
+
+    The flattened form of compute_volume_underslot2_r (gaussvol.cpp:400-519):
+    for each level from the deepest up, per-node subtree accumulators
+    (psi, F, P) for up to three families — free volume, self volume,
+    gamma-weighted energy — are combined with the children's segment-summed
+    accumulators, deposited onto the node's last atom, transformed by the
+    (dv1, dvv1, a1/a1i) recursion and passed to the parents.
+
+    Returns dict(volume, energy, dr, dv, free_volume, self_volume); dr is the
+    energy gradient wrt positions (negate for force), dv the gradient wrt
+    atomic volumes (divide by atomic volume for gradV as GaussVol does).
+    When with_volumes=False only the energy family is computed (the
+    gamma-rescan force passes, ReferenceAGBNPKernels.cpp:713-747).
+    """
+    natoms = level1["gv"].shape[0]
+    dtype = level1["gv"].dtype
+
+    families = ("energy",) + (("vol", "selfvol") if with_volumes else ())
+
+    # accumulators arriving from the level below: dict family -> (psi, f, p)
+    acc = None
+    free_volume = jnp.zeros(natoms, dtype)
+    self_volume = jnp.zeros(natoms, dtype)
+    dr = jnp.zeros((natoms, 3), dtype)
+    dv = jnp.zeros(natoms, dtype)
+
+    for l in range(NUM_TREE_LEVELS - 1, -1, -1):
+        lvl = levels[l]
+        level_no = l + 2
+        cf = -1.0 if level_no % 2 == 0 else 1.0
+        volcoeff = cf
+        volcoeffp = cf / level_no
+        valid = lvl["valid"]
+        vmask = valid.astype(dtype)
+
+        ai = level1["ga"][lvl["atom"]]
+        a1i = lvl["ga"]
+        safe_a1i = jnp.where(valid, a1i, 1.0)
+        c2 = ai / safe_a1i
+        c2p = (a1i - ai) / safe_a1i
+
+        out_acc = {}
+        for fam in families:
+            if fam == "vol":
+                local_l = volcoeff * lvl["volume"]
+                local_f = volcoeff * lvl["sfp"]
+            elif fam == "selfvol":
+                local_l = volcoeffp * lvl["volume"]
+                local_f = volcoeffp * lvl["sfp"]
+            else:
+                local_l = volcoeffp * lvl["gamma1i"] * lvl["volume"]
+                local_f = volcoeffp * lvl["sfp"] * lvl["gamma1i"]
+
+            psi = local_l * vmask
+            f = local_f * vmask
+            p = jnp.zeros_like(lvl["dv1"])
+            if acc is not None:
+                apsi, af, ap = acc[fam]
+                psi = psi + apsi
+                f = f + af
+                p = p + ap
+
+            # deposits on the last atom
+            if fam == "vol":
+                free_volume = free_volume + jax.ops.segment_sum(
+                    psi * vmask, lvl["atom"], num_segments=natoms)
+            elif fam == "selfvol":
+                self_volume = self_volume + jax.ops.segment_sum(
+                    psi * vmask, lvl["atom"], num_segments=natoms)
+            else:
+                contrib = (-lvl["dv1"]) * f[:, None] + p * c2[:, None]
+                dr = dr + jax.ops.segment_sum(
+                    contrib * vmask[:, None], lvl["atom"], num_segments=natoms)
+                dv = dv + jax.ops.segment_sum(
+                    lvl["gv"] * f * vmask, lvl["atom"], num_segments=natoms)
+
+            # transform and pass up
+            p_out = (lvl["dv1"] * f[:, None] + p * c2p[:, None]) * vmask[:, None]
+            f_out = lvl["dvv1"] * f * vmask
+            psi_out = psi * vmask
+
+            num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
+            out_acc[fam] = (
+                jax.ops.segment_sum(psi_out, lvl["parent"], num_segments=num_parents),
+                jax.ops.segment_sum(f_out, lvl["parent"], num_segments=num_parents),
+                jax.ops.segment_sum(p_out, lvl["parent"], num_segments=num_parents),
+            )
+        acc = out_acc
+
+    # level 1 (atoms): volcoeff = volcoeffp = 1, sfp = 1, dvv1 = 1, dv1 = 0,
+    # c2 = 1, c2p = 0 (gaussvol.cpp:413-435 with level == 1)
+    gamma = level1["gamma1i"]
+    vol = level1["gv"]
+
+    e_psi = gamma * vol + acc["energy"][0]
+    e_f = gamma + acc["energy"][1]
+    e_p = acc["energy"][2]
+    energy = jnp.sum(e_psi)
+    dr = dr + e_p
+    dv = dv + vol * e_f
+
+    result = dict(energy=energy, dr=dr, dv=dv)
+    if with_volumes:
+        v_psi = vol + acc["vol"][0]
+        free_volume = free_volume + v_psi
+        self_volume = self_volume + vol + acc["selfvol"][0]
+        result["volume"] = jnp.sum(v_psi)
+        result["free_volume"] = free_volume
+        result["self_volume"] = self_volume
+    return result

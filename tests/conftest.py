@@ -7,12 +7,17 @@ benchmarking lives in bench.py, not in the test suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container's sitecustomize imports jax at interpreter start (remote-TPU
+# axon plugin), so env vars set here are too late; use jax.config directly.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest

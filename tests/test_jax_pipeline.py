@@ -1,0 +1,92 @@
+"""Parity of the jitted flat-tree pipeline against the float64 oracle.
+
+These tests cover the TPU compute path (on CPU, float64): exact node-set
+reproduction of the overlap tree, golden-anchor energies, analytic forces vs
+the oracle and vs jax.grad through the whole pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmm_agbnp_plugin_tpu.models.agbnp_jax import AGBNPModel
+from openmm_agbnp_plugin_tpu.models.oracle import (
+    agbnp1_energy_forces,
+    gvolsa_energy_forces,
+)
+from openmm_agbnp_plugin_tpu.ops.tree import TreeCaps, check_overflow
+
+
+@pytest.fixture(scope="module")
+def model_v1(gaussvol_system):
+    params, pos = gaussvol_system
+    return AGBNPModel(params, version=1)
+
+
+@pytest.fixture(scope="module")
+def model_v0(gaussvol_system):
+    params, pos = gaussvol_system
+    return AGBNPModel(params, version=0)
+
+
+def test_gvolsa_parity(gaussvol_system, model_v0):
+    params, pos = gaussvol_system
+    e_o, f_o, _ = gvolsa_energy_forces(params, pos)
+    e, f = model_v0.energy_forces(pos)
+    assert float(e) == pytest.approx(e_o, abs=1e-9)
+    assert float(e) == pytest.approx(872.514, abs=1e-3)
+    np.testing.assert_allclose(np.array(f), f_o, atol=1e-10)
+
+
+def test_agbnp1_parity(gaussvol_system, model_v1):
+    params, pos = gaussvol_system
+    e_o, f_o = agbnp1_energy_forces(params, pos)
+    e, f = model_v1.energy_forces(pos)
+    assert float(e) == pytest.approx(e_o, abs=1e-8)
+    assert float(e) == pytest.approx(-2476.66, abs=1e-2)
+    np.testing.assert_allclose(np.array(f), f_o, atol=1e-9)
+
+
+def test_agbnp1_forces_equal_autodiff(gaussvol_system, model_v1):
+    """The hand-derived analytic force chain must equal jax.grad through the
+    entire pipeline (tree build treated as fixed topology, as the reference
+    does)."""
+    params, pos = gaussvol_system
+    m = model_v1
+    e, f = m.energy_forces(pos)
+    grad = jax.grad(lambda q: m._jit_ef(m.arrays, q)["energy"])(
+        jnp.asarray(pos))
+    np.testing.assert_allclose(np.array(-grad), np.array(f),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_no_overflow_on_fixture(gaussvol_system, model_v1):
+    params, pos = gaussvol_system
+    e, f, out = model_v1.energy_forces(pos, with_details=True)
+    assert not check_overflow(out["diag"])["any"]
+
+
+def test_overflow_detect_and_grow(gaussvol_system):
+    """PanicButton path: undersized capacities are detected and grown until
+    the evaluation is exact (OpenCLAGBNPKernels.cpp:3598-3634 analogue)."""
+    params, pos = gaussvol_system
+    e_ref, _ = agbnp1_energy_forces(params, pos)
+    small = AGBNPModel(params, version=1,
+                       caps=TreeCaps(caps=(1024, 1024, 1024, 1024, 512, 128, 128),
+                                     offs=(48, 32, 24, 16, 8, 4)))
+    _, _, out = small.energy_forces(pos, with_details=True)
+    assert small.check_and_grow(out["diag"])
+    for _ in range(8):
+        e, f, out = small.energy_forces(pos, with_details=True)
+        if not small.check_and_grow(out["diag"]):
+            break
+    assert float(e) == pytest.approx(e_ref, abs=1e-8)
+
+
+def test_translation_invariance(gaussvol_system, model_v1):
+    params, pos = gaussvol_system
+    e, f = model_v1.energy_forces(pos)
+    e2, f2 = model_v1.energy_forces(pos + np.array([1.0, -2.0, 0.5]))
+    assert float(e2) == pytest.approx(float(e), abs=1e-8)
+    assert np.abs(np.array(f2).sum(0)).max() < 1e-8
