@@ -1,0 +1,164 @@
+"""Molecular-mechanics force field terms in JAX (OPLS via Desmond DMS).
+
+The reference plugin itself only provides the AGBNP force; its benchmarks run
+full MD with the rest of the force field coming from the .dms files through a
+modified DesmondDMSFile (reference example/t4lysozyme_benchmark.py:8-10,
+`createSystem(..., OPLS=True, implicitSolvent='AGBNP')`).  To reproduce those
+benchmarks end-to-end on TPU this module implements the same terms as pure
+jnp energy functions; forces come from jax.grad, fused into the MD step.
+
+Terms (units: nm, kJ/mol, ps, e):
+  * stretch_harm:   E = fc (r - r0)^2
+  * angle_harm:     E = fc (theta - theta0)^2
+  * dihedral_trig:  E = sum_{n=0..6} fc_n cos(n (phi - phi0))
+  * nonbonded:      OPLS geometric-rule LJ + Coulomb, exclusions subtracted,
+                    pre-scaled 1-4 pair terms (aij/r^12 - bij/r^6 + ke qij/r)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+ONE_4PI_EPS0 = 138.935456  # kJ mol^-1 nm e^-2
+
+
+def bond_energy(pos, idx, r0, k):
+    d = pos[idx[:, 1]] - pos[idx[:, 0]]
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    return jnp.sum(k * (r - r0) ** 2)
+
+
+def angle_energy(pos, idx, theta0, k):
+    a = pos[idx[:, 0]] - pos[idx[:, 1]]
+    b = pos[idx[:, 2]] - pos[idx[:, 1]]
+    cosang = jnp.sum(a * b, axis=-1) / jnp.sqrt(
+        jnp.sum(a * a, axis=-1) * jnp.sum(b * b, axis=-1))
+    theta = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    return jnp.sum(k * (theta - theta0) ** 2)
+
+
+def dihedral_angle(pos, idx):
+    b1 = pos[idx[:, 1]] - pos[idx[:, 0]]
+    b2 = pos[idx[:, 2]] - pos[idx[:, 1]]
+    b3 = pos[idx[:, 3]] - pos[idx[:, 2]]
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    b2n = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    x = jnp.sum(n1 * n2, axis=-1)
+    y = jnp.sum(jnp.cross(n1, n2) * b2n, axis=-1)
+    return jnp.arctan2(y, x)
+
+
+def dihedral_energy(pos, idx, phi0, fc):
+    phi = dihedral_angle(pos, idx)
+    dphi = phi[:, None] - phi0[:, None]
+    orders = jnp.arange(fc.shape[1], dtype=pos.dtype)[None, :]
+    return jnp.sum(fc * jnp.cos(orders * dphi))
+
+
+def _lj_coulomb(d2, qq, aij, bij, dtype):
+    inv2 = 1.0 / d2
+    inv6 = inv2 * inv2 * inv2
+    elj = aij * inv6 * inv6 - bij * inv6
+    ecoul = ONE_4PI_EPS0 * qq * jnp.sqrt(inv2)
+    return elj + ecoul
+
+
+def nonbonded_energy(pos, charge, sigma, epsilon, excl_idx,
+                     pair_idx, pair_aij, pair_bij, pair_qij,
+                     cutoff=None):
+    """Full nonbonded energy with OPLS geometric combination rules.
+
+    The all-pairs sum is computed densely and the excluded pairs subtracted
+    exactly (both sides identically masked by the cutoff), matching the
+    truncated-potential semantics of the benchmark setups.
+    """
+    n = pos.shape[0]
+    dist = pos[None, :, :] - pos[:, None, :]
+    d2 = jnp.sum(dist * dist, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    d2s = jnp.where(eye, 1.0, d2)
+
+    # geometric combination (OPLS): sigma_ij = sqrt(si sj), eps_ij = sqrt(ei ej)
+    sig2 = sigma[:, None] * sigma[None, :]   # = sigma_ij^2
+    epsij = jnp.sqrt(epsilon[:, None] * epsilon[None, :])
+    sr2 = sig2 / d2s
+    sr6 = sr2 * sr2 * sr2
+    elj = 4.0 * epsij * (sr6 * sr6 - sr6)
+    ecoul = ONE_4PI_EPS0 * charge[:, None] * charge[None, :] / jnp.sqrt(d2s)
+
+    mask = ~eye
+    if cutoff is not None:
+        mask = mask & (d2s < cutoff * cutoff)
+    e_all = 0.5 * jnp.sum(jnp.where(mask, elj + ecoul, 0.0))
+
+    # subtract exclusions (identically masked)
+    ei, ej = excl_idx[:, 0], excl_idx[:, 1]
+    dx = pos[ej] - pos[ei]
+    d2e = jnp.sum(dx * dx, axis=-1)
+    sr2e = sigma[ei] * sigma[ej] / d2e
+    sr6e = sr2e ** 3
+    elj_e = 4.0 * jnp.sqrt(epsilon[ei] * epsilon[ej]) * (sr6e * sr6e - sr6e)
+    ecoul_e = ONE_4PI_EPS0 * charge[ei] * charge[ej] / jnp.sqrt(d2e)
+    if cutoff is not None:
+        emask = d2e < cutoff * cutoff
+        e_excl = jnp.sum(jnp.where(emask, elj_e + ecoul_e, 0.0))
+    else:
+        e_excl = jnp.sum(elj_e + ecoul_e)
+
+    # 1-4 scaled pairs (pre-scaled aij/bij/qij from the DMS tables)
+    pi, pj = pair_idx[:, 0], pair_idx[:, 1]
+    dxp = pos[pj] - pos[pi]
+    d2p = jnp.sum(dxp * dxp, axis=-1)
+    inv2 = 1.0 / d2p
+    inv6 = inv2 ** 3
+    e_pair = jnp.sum(pair_aij * inv6 * inv6 - pair_bij * inv6
+                     + ONE_4PI_EPS0 * pair_qij * jnp.sqrt(inv2))
+
+    return e_all - e_excl + e_pair
+
+
+@dataclasses.dataclass
+class MMForceField:
+    """Static MM topology arrays prepared from a DMSSystem."""
+
+    arrays: dict
+    cutoff: float | None = None
+
+    @staticmethod
+    def from_dms(dms, cutoff=None, dtype=np.float64) -> "MMForceField":
+        a = dict(
+            bond_idx=jnp.asarray(dms.bond_idx, jnp.int32),
+            bond_r0=jnp.asarray(dms.bond_r0, dtype),
+            bond_k=jnp.asarray(dms.bond_k, dtype),
+            angle_idx=jnp.asarray(dms.angle_idx, jnp.int32),
+            angle_theta0=jnp.asarray(dms.angle_theta0, dtype),
+            angle_k=jnp.asarray(dms.angle_k, dtype),
+            dihedral_idx=jnp.asarray(dms.dihedral_idx, jnp.int32),
+            dihedral_phi0=jnp.asarray(dms.dihedral_phi0, dtype),
+            dihedral_fc=jnp.asarray(dms.dihedral_fc, dtype),
+            charge=jnp.asarray(dms.charges, dtype),
+            sigma=jnp.asarray(dms.lj_sigma, dtype),
+            epsilon=jnp.asarray(dms.lj_epsilon, dtype),
+            excl_idx=jnp.asarray(dms.exclusions, jnp.int32),
+            pair_idx=jnp.asarray(dms.pair_idx, jnp.int32),
+            pair_aij=jnp.asarray(dms.pair_aij, dtype),
+            pair_bij=jnp.asarray(dms.pair_bij, dtype),
+            pair_qij=jnp.asarray(dms.pair_qij, dtype),
+        )
+        return MMForceField(arrays=a, cutoff=cutoff)
+
+    def energy(self, pos):
+        a = self.arrays
+        e = bond_energy(pos, a["bond_idx"], a["bond_r0"], a["bond_k"])
+        e += angle_energy(pos, a["angle_idx"], a["angle_theta0"], a["angle_k"])
+        e += dihedral_energy(pos, a["dihedral_idx"], a["dihedral_phi0"],
+                             a["dihedral_fc"])
+        e += nonbonded_energy(pos, a["charge"], a["sigma"], a["epsilon"],
+                              a["excl_idx"], a["pair_idx"], a["pair_aij"],
+                              a["pair_bij"], a["pair_qij"],
+                              cutoff=self.cutoff)
+        return e
