@@ -1,0 +1,58 @@
+"""Headline benchmark: AGBNP1 MD ns/day on t4lysozyme (1li2), single chip.
+
+Reference protocol: 10,000 Langevin steps at 1 fs / 300 K with wall-clock
+timing (reference example/t4lysozyme_benchmark.py:21-34, system
+1li2_agbnp1.dms, CutoffNonPeriodic 1 nm, OpenCL backend).  Here the same
+system runs with the full AGBNP1 + OPLS force field fused under jit/lax.scan
+on whatever jax.devices() provides (TPU if available).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+baseline constant below is the wall-clock-derived estimate for the
+reference's OpenCL backend on a mid-2017 GPU for this 1310-atom system at
+1 fs (~10k steps in ~170 s -> ~5 ns/day), consistent with the GaussVol GPU
+paper's era (README.md:126).  It is an assumption, recorded here explicitly,
+not a measured number.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_NS_DAY = 5.0
+
+NSTEPS = int(os.environ.get("BENCH_STEPS", "1000"))
+SYSTEM = os.environ.get("BENCH_SYSTEM", "1li2_agbnp1")
+
+
+def main():
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dms = load_dms(os.path.join(here, "benchmarks", "data", f"{SYSTEM}.dms"))
+
+    platform = jax.devices()[0].platform
+    dtype = np.float32 if platform != "cpu" else np.float64
+
+    sim = Simulation(dms, version=1, cutoff=None, dtype=dtype)
+    res = sim.benchmark_langevin(nsteps=NSTEPS, dt=0.001, temperature=300.0,
+                                 friction=1.0)
+
+    print(json.dumps({
+        "metric": f"ns_day_{SYSTEM.split('_')[0]}_agbnp1",
+        "value": round(res["ns_day"], 3),
+        "unit": "ns/day",
+        "vs_baseline": round(res["ns_day"] / BASELINE_NS_DAY, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

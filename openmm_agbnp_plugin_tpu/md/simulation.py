@@ -2,9 +2,10 @@
 
 The reference benchmark protocol is 10,000 Langevin steps with wall-clock
 timing (reference example/t4lysozyme_benchmark.py:30-34).  Here the whole
-inner loop — AGBNP tree build + pair phases, MM forces, integrator update —
-is a single jitted lax.scan with no host round-trips; the host only sees the
-final state and per-step energy trace.
+inner loop — AGBNP tree build + pair phases, MM forces, integrator update,
+periodic on-device neighbor-list rebuild — is a single jitted nested
+lax.scan with no host round-trips; the host only sees the final state and
+the per-step energy trace.
 """
 
 from __future__ import annotations
@@ -18,8 +19,17 @@ import numpy as np
 
 from ..models.agbnp_jax import AGBNPModel, energy_forces
 from ..models.oracle import AGBNPParams
+from ..ops.neighbors import half_neighbor_pairs, tree_pair_cutoff
 from .forces import MMForceField
 from .integrators import langevin_middle_step, velocity_verlet_step
+
+
+def _host_max_neighbors(pos, heavy, rcut):
+    d = np.linalg.norm(pos[None, :, :] - pos[:, None, :], axis=-1)
+    n = pos.shape[0]
+    jj = np.arange(n)
+    ok = (jj[None, :] > jj[:, None]) & (d < rcut) & heavy[:, None] & heavy[None, :]
+    return int(ok.sum(axis=1).max())
 
 
 class Simulation:
@@ -32,7 +42,8 @@ class Simulation:
 
     def __init__(self, dms, version: int = 1, cutoff: float | None = None,
                  dtype=np.float64, include_mm: bool = True,
-                 caps=None, pairs=None):
+                 caps=None, pairs=None, skin: float = 0.15,
+                 kmax: int | None = None):
         self.dms = dms
         self.dtype = dtype
         params = AGBNPParams(radius=dms.agbnp_radius, gamma=dms.agbnp_gamma,
@@ -46,30 +57,80 @@ class Simulation:
         self.positions = jnp.asarray(dms.positions, dtype)
         self.velocities = jnp.asarray(dms.velocities, dtype)
 
-    def force_fn(self):
-        agbnp = self.agbnp
+        # neighbor-list sizing pass (the analogue of the reference's CPU
+        # GaussVol pre-pass, OpenCLAGBNPKernels.cpp:566-617)
+        self.rcut_list = tree_pair_cutoff(params.radii_large) + skin
+        heavy = np.asarray(params.ishydrogen) == 0
+        if kmax is None:
+            seen = _host_max_neighbors(np.asarray(dms.positions), heavy,
+                                       self.rcut_list)
+            kmax = int(np.ceil(seen * 1.5 / 16) * 16)
+        self.kmax = kmax
+        self.heavy_mask = jnp.asarray(heavy)
 
+    def _agbnp_force(self, pos, pairs=None):
+        a = self.agbnp.arrays
+        if pairs is not None:
+            a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
+                 "pairs_valid": pairs[2]}
+        out = energy_forces(a, pos, caps=self.agbnp.caps,
+                            version=self.agbnp.version,
+                            roffset=self.agbnp.params.roffset,
+                            ntypes_j=self.agbnp.ntypes_j,
+                            cutoff=self.agbnp.cutoff)
+        return out["energy"], out["force"]
+
+    def force_fn(self, pairs=None):
         def fn(pos):
-            out = agbnp._jit_ef(agbnp.arrays, pos)
-            energy, force = out["energy"], out["force"]
+            energy, force = self._agbnp_force(pos, pairs)
             if self.mm is not None:
                 e_mm, g_mm = jax.value_and_grad(self.mm.energy)(pos)
                 energy = energy + e_mm
                 force = force - g_mm
             return energy, force
-
         return fn
 
-    def make_langevin_runner(self, dt=0.001, temperature=300.0, friction=1.0):
-        """Returns run(pos, vel, key, nsteps) jitted over a lax.scan."""
-        step = langevin_middle_step(self.force_fn(), self.masses, dt,
-                                    temperature, friction)
+    def make_langevin_runner(self, dt=0.001, temperature=300.0, friction=1.0,
+                             neighbor_every: int = 10):
+        """Returns run(pos, vel, key, nsteps) — a nested-scan Langevin loop.
+
+        With neighbor_every > 0, the half neighbor list is rebuilt on device
+        every `neighbor_every` steps and the tree's 2-body candidates come
+        from it; with 0, every step uses the full triangular pair list.
+        """
+        masses, rcut, kmax = self.masses, self.rcut_list, self.kmax
+        heavy = self.heavy_mask
+
+        if neighbor_every <= 0:
+            step = langevin_middle_step(self.force_fn(), masses, dt,
+                                        temperature, friction)
+
+            @partial(jax.jit, static_argnames=("nsteps",))
+            def run(pos, vel, key, nsteps: int):
+                (pos, vel, key), energies = jax.lax.scan(
+                    step, (pos, vel, key), length=nsteps)
+                return pos, vel, key, energies
+
+            return run
 
         @partial(jax.jit, static_argnames=("nsteps",))
         def run(pos, vel, key, nsteps: int):
+            nouter, rem = divmod(nsteps, neighbor_every)
+            assert rem == 0, "nsteps must be a multiple of neighbor_every"
+
+            def outer(carry, _):
+                pos, vel, key = carry
+                pi, pj, pv, _ = half_neighbor_pairs(pos, heavy, rcut, kmax)
+                inner = langevin_middle_step(
+                    self.force_fn(pairs=(pi, pj, pv)), masses, dt,
+                    temperature, friction)
+                (pos, vel, key), energies = jax.lax.scan(
+                    inner, (pos, vel, key), length=neighbor_every)
+                return (pos, vel, key), energies
+
             (pos, vel, key), energies = jax.lax.scan(
-                step, (pos, vel, key), length=nsteps)
-            return pos, vel, key, energies
+                outer, (pos, vel, key), length=nouter)
+            return pos, vel, key, energies.reshape(-1)
 
         return run
 
@@ -87,14 +148,16 @@ class Simulation:
         return run
 
     def benchmark_langevin(self, nsteps=1000, dt=0.001, temperature=300.0,
-                           friction=1.0, seed=0, warmup=True):
+                           friction=1.0, seed=0, warmup=True,
+                           neighbor_every: int = 10):
         """Timed Langevin MD, reference-benchmark style. Returns dict with
         ns/day and the energy trace."""
-        run = self.make_langevin_runner(dt, temperature, friction)
+        run = self.make_langevin_runner(dt, temperature, friction,
+                                        neighbor_every=neighbor_every)
         key = jax.random.PRNGKey(seed)
         pos, vel = self.positions, self.velocities
-        if warmup:  # compile + 3 steps
-            p, v, k, e = run(pos, vel, key, 3)
+        if warmup:
+            p, v, k, e = run(pos, vel, key, max(neighbor_every, 1))
             jax.block_until_ready(p)
         t0 = time.perf_counter()
         pos, vel, key, energies = run(pos, vel, key, nsteps)

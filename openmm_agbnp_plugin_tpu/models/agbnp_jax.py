@@ -60,6 +60,8 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         y2flat=jnp.asarray(tables.y2val.reshape(-1), dtype),
         pairs_i=jnp.asarray(pairs[0], jnp.int32),
         pairs_j=jnp.asarray(pairs[1], jnp.int32),
+        pairs_valid=(jnp.asarray(pairs[2])
+                     if len(pairs) > 2 else jnp.ones(len(pairs[0]), bool)),
     )
 
 
@@ -72,13 +74,14 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float):
 
     lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
                                gamma_dr, a["ishydrogen"])
-    levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"], caps)
-    red1 = T.reduce_tree(levels, lvl1_large)
+    levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"], caps,
+                                pairs_valid=a["pairs_valid"])
+    red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=False)
 
     lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
                              -gamma_dr, a["ishydrogen"])
     levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
-    red2 = T.reduce_tree(levels_vdw, lvl1_vdw)
+    red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
 
     e_cav = red1["energy"] + red2["energy"]
     f_cav = -(red1["dr"] + red2["dr"])
@@ -111,18 +114,18 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
 
     sweep = B.descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru)
 
-    # self-volume gradient components via the two gamma rescans
-    # (ReferenceAGBNPKernels.cpp:713-747)
-    lvl1_W = {**lvl1_vdw, "gamma1i": sweep["evdw_der_W"] / a["vol_vdw_all"]}
-    red_W = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_W), lvl1_W,
-                          with_volumes=False)
-    lvl1_U = {**lvl1_vdw, "gamma1i": sweep["egb_der_U"] / a["vol_vdw_all"]}
-    red_U = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_U), lvl1_U,
-                          with_volumes=False)
+    # self-volume gradient components via a gamma rescan.  The reference runs
+    # two separate passes for W (vdW) and U (GB)
+    # (ReferenceAGBNPKernels.cpp:713-747); the reduction is linear in gamma
+    # and both carry unit weights, so one pass over gamma_W + gamma_U gives
+    # the identical force sum at half the tree work.
+    gamma_WU = (sweep["evdw_der_W"] + sweep["egb_der_U"]) / a["vol_vdw_all"]
+    lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
+    red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
+                           with_selfvol=False)
 
     energy = e_cav + gb["gb_self"] + gb["gb_pair"] + e_vdw
-    force = (f_cav + gb["force"] + sweep["force"]
-             - red_W["dr"] - red_U["dr"])
+    force = f_cav + gb["force"] + sweep["force"] - red_WU["dr"]
 
     details.update(gb_self=gb["gb_self"], gb_pair=gb["gb_pair"], e_vdw=e_vdw,
                    born_radius=br, self_volume=self_volume, s_factor=s_factor)

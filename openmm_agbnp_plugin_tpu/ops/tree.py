@@ -132,7 +132,7 @@ def _compact(mask, fields, cap, parent_cap):
     return out, count
 
 
-def _pair_candidates(level1, pairs_i, pairs_j):
+def _pair_candidates(level1, pairs_i, pairs_j, pairs_valid=None):
     """2-body overlaps for the given (i, j) candidate pairs (i-major order)."""
     gi = dict(gv=level1["gv"][pairs_i], ga=level1["ga"][pairs_i],
               gc=level1["gc"][pairs_i])
@@ -147,7 +147,10 @@ def _pair_candidates(level1, pairs_i, pairs_j):
         dv1=(gj["gc"] - gi["gc"]) * (-res["dVdr"][:, None]),
         gamma1i=level1["gamma1i"][pairs_i] + level1["gamma1i"][pairs_j],
     )
-    return fields, survives(res["sgvol"])
+    mask = survives(res["sgvol"])
+    if pairs_valid is not None:
+        mask = mask & pairs_valid
+    return fields, mask
 
 
 def _sibling_candidates(level, level1, offs):
@@ -188,19 +191,20 @@ def _max_siblings(level, parent_cap):
     return jnp.max(cnt)
 
 
-def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps):
+def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None):
     """Builds all overlap levels 2..MAX_ORDER.
 
     pairs_i/pairs_j: candidate 2-body pairs (i < j), i-major order — from an
-    all-pairs enumeration or a neighbor list.  Returns (levels, diag) where
-    diag carries per-level counts and overflow indicators.
+    all-pairs enumeration or a padded neighbor list (pairs_valid masks the
+    list's padding slots).  Returns (levels, diag) where diag carries
+    per-level counts and overflow indicators.
     """
     natoms = level1["gv"].shape[0]
     levels = []
     counts = []
     sib_max = []
 
-    fields, mask = _pair_candidates(level1, pairs_i, pairs_j)
+    fields, mask = _pair_candidates(level1, pairs_i, pairs_j, pairs_valid)
     lvl, count = _compact(mask, fields, caps.caps[0], natoms)
     levels.append(lvl)
     counts.append(count)
@@ -273,39 +277,44 @@ def rescan_gammas(levels, level1):
     return tuple(new_levels)
 
 
-def reduce_tree(levels, level1, with_volumes: bool = True):
-    """Bottom-up reduction: energy, gradients, free/self volumes.
+def reduce_tree(levels, level1, with_selfvol: bool = True,
+                with_freevol: bool = False, with_dv: bool = False):
+    """Bottom-up reduction: energy, gradients, self/free volumes.
 
     The flattened form of compute_volume_underslot2_r (gaussvol.cpp:400-519):
-    for each level from the deepest up, per-node subtree accumulators
-    (psi, F, P) for up to three families — free volume, self volume,
-    gamma-weighted energy — are combined with the children's segment-summed
-    accumulators, deposited onto the node's last atom, transformed by the
-    (dv1, dvv1, a1/a1i) recursion and passed to the parents.
+    for each level from the deepest up, per-node subtree accumulators are
+    combined with the children's segment-summed accumulators, deposited onto
+    the node's last atom, transformed by the (dv1, dvv1, a1/a1i) recursion
+    and passed to the parents.
 
-    Returns dict(volume, energy, dr, dv, free_volume, self_volume); dr is the
-    energy gradient wrt positions (negate for force), dv the gradient wrt
-    atomic volumes (divide by atomic volume for gradV as GaussVol does).
-    When with_volumes=False only the energy family is computed (the
-    gamma-rescan force passes, ReferenceAGBNPKernels.cpp:713-747).
+    TPU layout note: the gamma-weighted energy family needs the full
+    (psi, F, P) chain (5 channels); the self/free-volume families only
+    propagate their psi scalar (their F/P legs feed nothing downstream in
+    the reference either), so all channels are packed into one [cap, C]
+    matrix with ONE upward segment-sum and ONE atom-deposit segment-sum per
+    level instead of one per quantity.
+
+    Returns dict(energy, dr[, dv][, self_volume][, free_volume, volume]);
+    dr is the energy gradient wrt positions (negate for force), dv the
+    gradient wrt atomic volumes.  The gamma-rescan force passes
+    (ReferenceAGBNPKernels.cpp:713-747) use with_selfvol=False.
     """
     natoms = level1["gv"].shape[0]
     dtype = level1["gv"].dtype
 
-    families = ("energy",) + (("vol", "selfvol") if with_volumes else ())
+    # upward channels: [e_psi, e_f, e_px, e_py, e_pz] (+ sv_psi) (+ fv_psi)
+    n_up = 5 + (1 if with_selfvol else 0) + (1 if with_freevol else 0)
+    i_sv = 5
+    i_fv = 5 + (1 if with_selfvol else 0)
 
-    # accumulators arriving from the level below: dict family -> (psi, f, p)
     acc = None
-    free_volume = jnp.zeros(natoms, dtype)
-    self_volume = jnp.zeros(natoms, dtype)
-    dr = jnp.zeros((natoms, 3), dtype)
-    dv = jnp.zeros(natoms, dtype)
+    deposits = jnp.zeros((natoms, n_up - 2 + (1 if with_dv else 0)), dtype)
+    # deposit channels: [drx, dry, drz] (+ sv) (+ fv) (+ dv)
 
     for l in range(NUM_TREE_LEVELS - 1, -1, -1):
         lvl = levels[l]
         level_no = l + 2
         cf = -1.0 if level_no % 2 == 0 else 1.0
-        volcoeff = cf
         volcoeffp = cf / level_no
         valid = lvl["valid"]
         vmask = valid.astype(dtype)
@@ -316,72 +325,64 @@ def reduce_tree(levels, level1, with_volumes: bool = True):
         c2 = ai / safe_a1i
         c2p = (a1i - ai) / safe_a1i
 
-        out_acc = {}
-        for fam in families:
-            if fam == "vol":
-                local_l = volcoeff * lvl["volume"]
-                local_f = volcoeff * lvl["sfp"]
-            elif fam == "selfvol":
-                local_l = volcoeffp * lvl["volume"]
-                local_f = volcoeffp * lvl["sfp"]
-            else:
-                local_l = volcoeffp * lvl["gamma1i"] * lvl["volume"]
-                local_f = volcoeffp * lvl["sfp"] * lvl["gamma1i"]
+        gsfp = volcoeffp * lvl["sfp"] * lvl["gamma1i"]
+        cols = [volcoeffp * lvl["gamma1i"] * lvl["volume"],   # e_psi
+                gsfp]                                         # e_f
+        cols += [jnp.zeros_like(gsfp)] * 3                    # e_p
+        if with_selfvol:
+            cols.append(volcoeffp * lvl["volume"])            # sv_psi
+        if with_freevol:
+            cols.append(cf * lvl["volume"])                   # fv_psi
+        tot = jnp.stack(cols, axis=1) * vmask[:, None]
+        if acc is not None:
+            tot = tot + acc
 
-            psi = local_l * vmask
-            f = local_f * vmask
-            p = jnp.zeros_like(lvl["dv1"])
-            if acc is not None:
-                apsi, af, ap = acc[fam]
-                psi = psi + apsi
-                f = f + af
-                p = p + ap
+        e_f = tot[:, 1]
+        e_p = tot[:, 2:5]
 
-            # deposits on the last atom
-            if fam == "vol":
-                free_volume = free_volume + jax.ops.segment_sum(
-                    psi * vmask, lvl["atom"], num_segments=natoms)
-            elif fam == "selfvol":
-                self_volume = self_volume + jax.ops.segment_sum(
-                    psi * vmask, lvl["atom"], num_segments=natoms)
-            else:
-                contrib = (-lvl["dv1"]) * f[:, None] + p * c2[:, None]
-                dr = dr + jax.ops.segment_sum(
-                    contrib * vmask[:, None], lvl["atom"], num_segments=natoms)
-                dv = dv + jax.ops.segment_sum(
-                    lvl["gv"] * f * vmask, lvl["atom"], num_segments=natoms)
+        # deposits on the last atom, one packed segment-sum
+        dr_dep = (-lvl["dv1"]) * e_f[:, None] + e_p * c2[:, None]
+        dep_cols = [dr_dep]
+        if with_selfvol:
+            dep_cols.append(tot[:, i_sv:i_sv + 1])
+        if with_freevol:
+            dep_cols.append(tot[:, i_fv:i_fv + 1])
+        if with_dv:
+            dep_cols.append((lvl["gv"] * e_f)[:, None])
+        dep = jnp.concatenate(dep_cols, axis=1) * vmask[:, None]
+        deposits = deposits + jax.ops.segment_sum(dep, lvl["atom"],
+                                                  num_segments=natoms)
 
-            # transform and pass up
-            p_out = (lvl["dv1"] * f[:, None] + p * c2p[:, None]) * vmask[:, None]
-            f_out = lvl["dvv1"] * f * vmask
-            psi_out = psi * vmask
-
-            num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
-            out_acc[fam] = (
-                jax.ops.segment_sum(psi_out, lvl["parent"], num_segments=num_parents),
-                jax.ops.segment_sum(f_out, lvl["parent"], num_segments=num_parents),
-                jax.ops.segment_sum(p_out, lvl["parent"], num_segments=num_parents),
-            )
-        acc = out_acc
+        # transform and pass up, one packed segment-sum
+        p_out = lvl["dv1"] * e_f[:, None] + e_p * c2p[:, None]
+        up = jnp.concatenate([
+            tot[:, 0:1],                       # e_psi passes through
+            (lvl["dvv1"] * e_f)[:, None],      # e_f
+            p_out,                             # e_p
+            tot[:, 5:],                        # sv/fv psi pass through
+        ], axis=1) * vmask[:, None]
+        num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
+        acc = jax.ops.segment_sum(up, lvl["parent"], num_segments=num_parents)
 
     # level 1 (atoms): volcoeff = volcoeffp = 1, sfp = 1, dvv1 = 1, dv1 = 0,
     # c2 = 1, c2p = 0 (gaussvol.cpp:413-435 with level == 1)
     gamma = level1["gamma1i"]
     vol = level1["gv"]
 
-    e_psi = gamma * vol + acc["energy"][0]
-    e_f = gamma + acc["energy"][1]
-    e_p = acc["energy"][2]
-    energy = jnp.sum(e_psi)
-    dr = dr + e_p
-    dv = dv + vol * e_f
+    e_psi = gamma * vol + acc[:, 0]
+    e_f = gamma + acc[:, 1]
+    dr = deposits[:, 0:3] + acc[:, 2:5]
 
-    result = dict(energy=energy, dr=dr, dv=dv)
-    if with_volumes:
-        v_psi = vol + acc["vol"][0]
-        free_volume = free_volume + v_psi
-        self_volume = self_volume + vol + acc["selfvol"][0]
-        result["volume"] = jnp.sum(v_psi)
-        result["free_volume"] = free_volume
-        result["self_volume"] = self_volume
+    result = dict(energy=jnp.sum(e_psi), dr=dr)
+    col = 3
+    if with_selfvol:
+        result["self_volume"] = vol + acc[:, i_sv] + deposits[:, col]
+        col += 1
+    if with_freevol:
+        fv_psi = vol + acc[:, i_fv]
+        result["free_volume"] = fv_psi + deposits[:, col]
+        result["volume"] = jnp.sum(fv_psi)
+        col += 1
+    if with_dv:
+        result["dv"] = vol * e_f + deposits[:, col]
     return result
