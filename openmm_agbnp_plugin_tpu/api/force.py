@@ -1,0 +1,161 @@
+"""Public AGBNPForce API, mirroring the reference plugin's surface.
+
+Reference: openmmapi/include/AGBNPForce.h:39-155 and AGBNPForce.cpp.
+A user of the reference builds the force with
+    force = AGBNPForce(); force.setVersion(1)
+    force.addParticle(radius, gamma, alpha, charge, ishydrogen) x N
+and evaluates energy/forces through a Context.  Here the Context binds the
+force to the JAX compute path (AGBNPModel) instead of an OpenMM platform
+kernel; the parameter-validation semantics (version in {0,1,2}, single
+common gamma across heavy atoms, hydrogen gamma zeroing) match the
+reference (AGBNPForce.cpp:52-59, ReferenceAGBNPKernels.cpp:96-118).
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+
+from ..models.constants import AGBNP_RADIUS_INCREMENT, SOLVENT_RADIUS
+from ..models.oracle import AGBNPParams
+
+
+class NonbondedMethod(enum.IntEnum):
+    """Long-range handling (AGBNPForce.h:44-59)."""
+
+    NoCutoff = 0
+    CutoffNonPeriodic = 1
+    CutoffPeriodic = 2
+
+
+class AGBNPForce:
+    """Particle table + model options for the AGBNP implicit-solvent force."""
+
+    def __init__(self):
+        self._particles: list[tuple] = []
+        self._nonbonded_method = NonbondedMethod.NoCutoff
+        self._cutoff = 1.0
+        self._version = 1
+        self._solvent_radius = SOLVENT_RADIUS
+
+    # -- particle table (AGBNPForce.h:61-103) ------------------------------
+
+    def addParticle(self, radius: float, gamma: float, vdw_alpha: float,
+                    charge: float, ishydrogen: bool) -> int:
+        self._particles.append((float(radius), float(gamma), float(vdw_alpha),
+                                float(charge), bool(ishydrogen)))
+        return len(self._particles) - 1
+
+    def setParticleParameters(self, index: int, radius, gamma, vdw_alpha,
+                              charge, ishydrogen):
+        self._particles[index] = (float(radius), float(gamma),
+                                  float(vdw_alpha), float(charge),
+                                  bool(ishydrogen))
+
+    def getParticleParameters(self, index: int):
+        return self._particles[index]
+
+    def getNumParticles(self) -> int:
+        return len(self._particles)
+
+    # -- options -----------------------------------------------------------
+
+    def setVersion(self, version: int):
+        if version not in (0, 1, 2):
+            raise ValueError(
+                "AGBNPForce: illegal version number, should be 0, 1 or 2")
+        self._version = version
+
+    def getVersion(self) -> int:
+        return self._version
+
+    def setNonbondedMethod(self, method):
+        self._nonbonded_method = NonbondedMethod(method)
+
+    def getNonbondedMethod(self) -> NonbondedMethod:
+        return self._nonbonded_method
+
+    def setCutoffDistance(self, distance: float):
+        self._cutoff = float(distance)
+
+    def getCutoffDistance(self) -> float:
+        return self._cutoff
+
+    def getSolventRadius(self) -> float:
+        return self._solvent_radius
+
+    # -- binding -----------------------------------------------------------
+
+    def to_params(self) -> AGBNPParams:
+        """Validated parameter arrays (the kernel-initialize step,
+        ReferenceAGBNPKernels.cpp:58-137)."""
+        if not self._particles:
+            raise ValueError("AGBNPForce has no particles")
+        arr = np.array([p[:4] for p in self._particles], dtype=np.float64)
+        ish = np.array([p[4] for p in self._particles], dtype=np.int64)
+        gammas = arr[:, 1]
+        heavy = ish == 0
+        if heavy.any():
+            g0 = gammas[heavy][0]
+            if np.any((gammas[heavy] - g0) ** 2 > 1.1754943508222875e-38):
+                raise ValueError(
+                    "AGBNP does not support multiple gamma values.")
+        return AGBNPParams(radius=arr[:, 0], gamma=gammas, alpha=arr[:, 2],
+                           charge=arr[:, 3], ishydrogen=ish,
+                           roffset=AGBNP_RADIUS_INCREMENT)
+
+    def updateParametersInContext(self, context):
+        """Push edited particle parameters into a live Context
+        (AGBNPForce.cpp:76-78)."""
+        context.reinitialize_force(self)
+
+
+class Context:
+    """Binds an AGBNPForce to the JAX compute path.
+
+    The analogue of creating an OpenMM Context on a platform: it prepares
+    the device arrays, compiles the pipeline, and serves
+    getState(energy, forces)-style queries.
+    """
+
+    def __init__(self, force: AGBNPForce, dtype=np.float32, caps=None):
+        self._dtype = dtype
+        self._caps = caps
+        self.reinitialize_force(force)
+        self._positions = None
+
+    def reinitialize_force(self, force: AGBNPForce):
+        from ..models.agbnp_jax import AGBNPModel
+
+        if force.getVersion() == 2:
+            raise NotImplementedError(
+                "AGBNP2 (version=2) is marked work-in-progress in the "
+                "reference (README.md:9) and is not yet implemented here; "
+                "use version 0 or 1.")
+        cutoff = (None if force.getNonbondedMethod() == NonbondedMethod.NoCutoff
+                  else force.getCutoffDistance())
+        if force.getNonbondedMethod() == NonbondedMethod.CutoffPeriodic:
+            raise NotImplementedError(
+                "CutoffPeriodic is not supported yet; use NoCutoff or "
+                "CutoffNonPeriodic.")
+        self._force = force
+        self._model = AGBNPModel(force.to_params(),
+                                 version=force.getVersion(),
+                                 cutoff=cutoff, dtype=self._dtype,
+                                 caps=self._caps)
+
+    def setPositions(self, positions):
+        self._positions = np.asarray(positions, dtype=np.float64)
+
+    def getEnergyForces(self):
+        """Evaluate; retries through the PanicButton resize loop if the
+        overlap tree overflowed its capacities."""
+        if self._positions is None:
+            raise ValueError("call setPositions first")
+        for _ in range(8):
+            e, f, out = self._model.energy_forces(self._positions,
+                                                  with_details=True)
+            if not self._model.check_and_grow(out["diag"]):
+                return e, f
+        raise RuntimeError("overlap tree capacities failed to converge")
