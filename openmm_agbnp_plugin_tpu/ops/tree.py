@@ -92,15 +92,61 @@ def make_level1(pos, radius, volume, gamma, ishydrogen):
     a = KFC/r^2, volume zeroed for hydrogens.
     """
     vol = jnp.where(ishydrogen > 0, 0.0, volume)
-    return dict(
-        gv=vol,
-        ga=atomic_gaussian_exponent(radius),
-        gc=pos,
-        gamma1i=gamma,
-    )
+    ga = atomic_gaussian_exponent(radius)
+    at = jnp.concatenate([vol[:, None], ga[:, None], pos, gamma[:, None]],
+                         axis=1)  # packed [N, 6]: gv, ga, gc, gamma
+    return dict(gv=vol, ga=ga, gc=pos, gamma1i=gamma, _at=at)
 
 
-def _compact(mask, fields, cap, parent_cap):
+# Packed per-level float layout [cap, 12]:
+#   0 gv, 1 ga, 2:5 gc, 5 volume(switched), 6 sfp, 7 dvv1, 8:11 dv1,
+#   11 gamma1i
+# Keeping every per-node float in ONE matrix means each pipeline stage
+# (candidate math, compaction gather, sort gather, mask) is a single fused
+# XLA op instead of one per field — the per-kernel launch overhead on TPU
+# dominates at these sizes, so op count is the cost model.
+_D = 12
+
+
+def _level_views(dat, atom, parent, valid):
+    return dict(_dat=dat, atom=atom, parent=parent, valid=valid,
+                gv=dat[:, 0], ga=dat[:, 1], gc=dat[:, 2:5],
+                volume=dat[:, 5], sfp=dat[:, 6], dvv1=dat[:, 7],
+                dv1=dat[:, 8:11], gamma1i=dat[:, 11])
+
+
+def _cand_dat(s_gv, s_ga, s_gc, s_gamma, a):
+    """Packed 2-Gaussian product: s-side scalars x atomic packed rows
+    (a[..., 6]: gv, ga, gc, gamma).  Returns (dat[..., 12], sgvol)."""
+    from ..models.constants import PI
+    from .gaussians import pol_switchfunc
+
+    a_gv = a[..., 0]
+    a_ga = a[..., 1]
+    a_gc = a[..., 2:5]
+    dist = a_gc - s_gc
+    d2 = jnp.sum(dist * dist, axis=-1)
+    a12 = s_ga + a_ga
+    deltai = 1.0 / a12
+    df = s_ga * a_ga * deltai
+    ef = jnp.exp(-df * d2)
+    gvol = (s_gv * a_gv / (PI / df) ** 1.5) * ef
+    dgvol = -2.0 * df * gvol
+    dgvolv = jnp.where(s_gv > 0, gvol / jnp.where(s_gv > 0, s_gv, 1.0), 0.0)
+    gc12 = (s_gc * s_ga[..., None] + a_gc * a_ga[..., None]) * deltai[..., None]
+    s, sp = pol_switchfunc(gvol)
+    sgvol = s * gvol
+    sfp = sp * gvol + s
+    dv1 = dist * (-dgvol)[..., None]
+    dat = jnp.concatenate([
+        gvol[..., None], a12[..., None], gc12, sgvol[..., None],
+        sfp[..., None], dgvolv[..., None], dv1,
+        (s_gamma + a[..., 5])[..., None],
+    ], axis=-1)
+    return dat, sgvol
+
+
+def _compact(mask, cand_dat, cand_atom, cand_parent, cap, parent_cap):
     """Pack masked candidates into a fixed-capacity level, grouped by parent
     and volume-sorted within each group.
 
@@ -114,43 +160,29 @@ def _compact(mask, fields, cap, parent_cap):
     idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
     valid = jnp.arange(cap) < count
 
-    parent = jnp.where(valid, fields["parent"][idx], parent_cap)
-    volume = jnp.where(valid, fields["volume"][idx], 0.0)
-    perm = jnp.lexsort((-volume, parent))
+    parent_key = jnp.where(valid, cand_parent[idx], parent_cap)
+    vol_key = jnp.where(valid, cand_dat[:, 5][idx], 0.0)
+    perm = jnp.lexsort((-vol_key, parent_key))
     idx = idx[perm]
-    valid = valid[perm]
+    # invalid slots carry the max parent sentinel, so the stable sort keeps
+    # them at the tail and the validity prefix is unchanged by the perm
 
-    out = {}
-    for key, val in fields.items():
-        g = val[idx]
-        if g.ndim == 2:
-            g = jnp.where(valid[:, None], g, jnp.zeros_like(g))
-        else:
-            g = jnp.where(valid, g, jnp.zeros_like(g))
-        out[key] = g
-    out["valid"] = valid
-    return out, count
+    dat = jnp.where(valid[:, None], cand_dat[idx], 0.0)
+    atom = jnp.where(valid, cand_atom[idx], 0).astype(jnp.int32)
+    parent = jnp.where(valid, cand_parent[idx], 0).astype(jnp.int32)
+    return _level_views(dat, atom, parent, valid), count
 
 
 def _pair_candidates(level1, pairs_i, pairs_j, pairs_valid=None):
     """2-body overlaps for the given (i, j) candidate pairs (i-major order)."""
-    gi = dict(gv=level1["gv"][pairs_i], ga=level1["ga"][pairs_i],
-              gc=level1["gc"][pairs_i])
-    gj = dict(gv=level1["gv"][pairs_j], ga=level1["ga"][pairs_j],
-              gc=level1["gc"][pairs_j])
-    res = ogauss(gi["gv"], gi["ga"], gi["gc"], gj["gv"], gj["ga"], gj["gc"])
-    fields = dict(
-        atom=pairs_j.astype(jnp.int32),
-        parent=pairs_i.astype(jnp.int32),
-        gv=res["gv"], ga=res["ga"], gc=res["gc"],
-        volume=res["sgvol"], sfp=res["sfp"], dvv1=res["dVdV"],
-        dv1=(gj["gc"] - gi["gc"]) * (-res["dVdr"][:, None]),
-        gamma1i=level1["gamma1i"][pairs_i] + level1["gamma1i"][pairs_j],
-    )
-    mask = survives(res["sgvol"])
+    at = level1["_at"]
+    si = at[pairs_i]
+    dat, sgvol = _cand_dat(si[:, 0], si[:, 1], si[:, 2:5], si[:, 5],
+                           at[pairs_j])
+    mask = survives(sgvol)
     if pairs_valid is not None:
         mask = mask & pairs_valid
-    return fields, mask
+    return dat, pairs_j.astype(jnp.int32), pairs_i.astype(jnp.int32), mask
 
 
 def _sibling_candidates(level, level1, offs):
@@ -158,30 +190,34 @@ def _sibling_candidates(level, level1, offs):
 
     Children of node s come from overlapping s's product Gaussian with the
     last atoms of later siblings under the same parent
-    (compute_children, gaussvol.cpp:197-250).
+    (compute_children, gaussvol.cpp:197-250).  Siblings are contiguous
+    (levels are parent-grouped), so the partner at offset o is a shifted
+    window of the level arrays: static slices, no dynamic gathers.
+    [cap, offs] flattens s-major, preserving parent grouping.
     """
     cap = level["atom"].shape[0]
-    s = jnp.repeat(jnp.arange(cap), offs)
-    t = s + jnp.tile(jnp.arange(1, offs + 1), cap)
-    t_clamped = jnp.minimum(t, cap - 1)
-    pair_ok = ((t < cap)
-               & level["valid"][s] & level["valid"][t_clamped]
-               & (level["parent"][s] == level["parent"][t_clamped]))
-    atom2 = level["atom"][t_clamped]
-    a_gv = level1["gv"][atom2]
-    a_ga = level1["ga"][atom2]
-    a_gc = level1["gc"][atom2]
-    res = ogauss(level["gv"][s], level["ga"][s], level["gc"][s],
-                 a_gv, a_ga, a_gc)
-    fields = dict(
-        atom=atom2.astype(jnp.int32),
-        parent=s.astype(jnp.int32),
-        gv=res["gv"], ga=res["ga"], gc=res["gc"],
-        volume=res["sgvol"], sfp=res["sfp"], dvv1=res["dVdV"],
-        dv1=(a_gc - level["gc"][s]) * (-res["dVdr"][:, None]),
-        gamma1i=level["gamma1i"][s] + level1["gamma1i"][atom2],
-    )
-    return fields, pair_ok & survives(res["sgvol"])
+
+    def shifted(x, fill):
+        xp = jnp.pad(x, (0, offs), constant_values=fill)
+        return jnp.stack([xp[o:o + cap] for o in range(1, offs + 1)], axis=1)
+
+    t_valid = shifted(level["valid"], False)
+    t_parent = shifted(level["parent"], -1)
+    t_atom = shifted(level["atom"], 0)
+    pair_ok = (t_valid & level["valid"][:, None]
+               & (t_parent == level["parent"][:, None]))
+    atom2 = jnp.where(pair_ok, t_atom, 0)
+
+    dat_s = level["_dat"]
+    dat, sgvol = _cand_dat(dat_s[:, 0:1], dat_s[:, 1:2],
+                           dat_s[:, None, 2:5], dat_s[:, 11:12],
+                           level1["_at"][atom2])
+    mask = pair_ok & survives(sgvol)
+    s_idx = jnp.broadcast_to(
+        jnp.arange(cap, dtype=jnp.int32)[:, None], (cap, offs))
+    ncand = cap * offs
+    return (dat.reshape(ncand, _D), atom2.astype(jnp.int32).reshape(ncand),
+            s_idx.reshape(ncand), mask.reshape(ncand))
 
 
 def _max_siblings(level, parent_cap):
@@ -204,15 +240,18 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None):
     counts = []
     sib_max = []
 
-    fields, mask = _pair_candidates(level1, pairs_i, pairs_j, pairs_valid)
-    lvl, count = _compact(mask, fields, caps.caps[0], natoms)
+    dat, catom, cparent, mask = _pair_candidates(level1, pairs_i, pairs_j,
+                                                 pairs_valid)
+    lvl, count = _compact(mask, dat, catom, cparent, caps.caps[0], natoms)
     levels.append(lvl)
     counts.append(count)
     sib_max.append(_max_siblings(lvl, natoms))
 
     for l in range(1, NUM_TREE_LEVELS):
-        fields, mask = _sibling_candidates(levels[-1], level1, caps.offs[l - 1])
-        lvl, count = _compact(mask, fields, caps.caps[l], caps.caps[l - 1])
+        dat, catom, cparent, mask = _sibling_candidates(
+            levels[-1], level1, caps.offs[l - 1])
+        lvl, count = _compact(mask, dat, catom, cparent, caps.caps[l],
+                              caps.caps[l - 1])
         levels.append(lvl)
         counts.append(count)
         sib_max.append(_max_siblings(lvl, caps.caps[l - 1]))
@@ -246,22 +285,17 @@ def rescan_volumes(levels, level1):
     (radii/volumes/gammas), same parent/atom indices, no re-pruning.
     """
     new_levels = []
-    parent_arrays = level1
+    # level-1 "dat" is the packed atomic table; map its columns to the same
+    # (gv, ga, gc, gamma) positions the level matrices use
+    prev_dat, cols = level1["_at"], (0, 1, 2, 11 - 6)
     for lvl in levels:
         p = lvl["parent"]
-        atom = lvl["atom"]
-        res = ogauss(parent_arrays["gv"][p], parent_arrays["ga"][p],
-                     parent_arrays["gc"][p],
-                     level1["gv"][atom], level1["ga"][atom], level1["gc"][atom])
-        new_lvl = dict(
-            atom=atom, parent=p, valid=lvl["valid"],
-            gv=res["gv"], ga=res["ga"], gc=res["gc"],
-            volume=res["sgvol"], sfp=res["sfp"], dvv1=res["dVdV"],
-            dv1=(level1["gc"][atom] - parent_arrays["gc"][p]) * (-res["dVdr"][:, None]),
-            gamma1i=parent_arrays["gamma1i"][p] + level1["gamma1i"][atom],
-        )
-        new_levels.append(new_lvl)
-        parent_arrays = new_lvl
+        sp = prev_dat[p]
+        g0, g1, gc0, gg = cols
+        dat, _ = _cand_dat(sp[:, g0], sp[:, g1], sp[:, gc0:gc0 + 3],
+                           sp[:, gg], level1["_at"][lvl["atom"]])
+        new_levels.append(_level_views(dat, lvl["atom"], p, lvl["valid"]))
+        prev_dat, cols = dat, (0, 1, 2, 11)
     return tuple(new_levels)
 
 

@@ -1,0 +1,140 @@
+"""ctypes bindings for the native GaussVol overlap-tree engine.
+
+Builds the shared library on demand with the in-tree Makefile (g++); falls
+back gracefully (available() -> False) when no compiler is present so the
+pure-JAX path keeps working.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libgaussvol_native.so")
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _HERE], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.gv_create.restype = ctypes.c_void_p
+    lib.gv_create.argtypes = [ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.gv_destroy.argtypes = [ctypes.c_void_p]
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.gv_compute_tree.argtypes = [ctypes.c_void_p, dptr, dptr, dptr, dptr]
+    lib.gv_rescan_volumes.argtypes = [ctypes.c_void_p, dptr, dptr, dptr, dptr]
+    lib.gv_rescan_gammas.argtypes = [ctypes.c_void_p, dptr]
+    lib.gv_compute_volume.argtypes = [ctypes.c_void_p, dptr, dptr, dptr, dptr,
+                                      dptr, dptr]
+    lib.gv_level_stats.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.gv_total_nodes.restype = ctypes.c_int
+    lib.gv_total_nodes.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class NativeGaussVol:
+    """Fast float64 overlap-tree engine (sizing pre-pass + large-system
+    oracle)."""
+
+    def __init__(self, natoms: int, ishydrogen):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native gaussvol library unavailable")
+        self._lib = lib
+        self.natoms = natoms
+        ish = np.ascontiguousarray(ishydrogen, dtype=np.int32)
+        self._h = lib.gv_create(natoms,
+                                ish.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.gv_destroy(self._h)
+            self._h = None
+
+    def compute_tree(self, pos, radii, volumes, gammas):
+        pos = np.ascontiguousarray(pos, dtype=np.float64)
+        r = np.ascontiguousarray(radii, dtype=np.float64)
+        v = np.ascontiguousarray(volumes, dtype=np.float64)
+        g = np.ascontiguousarray(gammas, dtype=np.float64)
+        self._lib.gv_compute_tree(self._h, _dp(pos), _dp(r), _dp(v), _dp(g))
+
+    def rescan_volumes(self, pos, radii, volumes, gammas):
+        pos = np.ascontiguousarray(pos, dtype=np.float64)
+        r = np.ascontiguousarray(radii, dtype=np.float64)
+        v = np.ascontiguousarray(volumes, dtype=np.float64)
+        g = np.ascontiguousarray(gammas, dtype=np.float64)
+        self._lib.gv_rescan_volumes(self._h, _dp(pos), _dp(r), _dp(v), _dp(g))
+
+    def rescan_gammas(self, gammas):
+        g = np.ascontiguousarray(gammas, dtype=np.float64)
+        self._lib.gv_rescan_gammas(self._h, _dp(g))
+
+    def compute_volume(self):
+        """Returns (energy, volume, force, dv, free_volume, self_volume)."""
+        n = self.natoms
+        energy = np.zeros(1)
+        volume = np.zeros(1)
+        dr = np.zeros((n, 3))
+        dv = np.zeros(n)
+        fv = np.zeros(n)
+        sv = np.zeros(n)
+        self._lib.gv_compute_volume(self._h, _dp(energy), _dp(volume),
+                                    _dp(dr), _dp(dv), _dp(fv), _dp(sv))
+        return energy[0], volume[0], -dr, dv, fv, sv
+
+    def level_stats(self):
+        """Returns (counts[9], max_siblings[9]) for levels 0..8."""
+        counts = np.zeros(9, dtype=np.int32)
+        sibs = np.zeros(9, dtype=np.int32)
+        ip = ctypes.POINTER(ctypes.c_int)
+        self._lib.gv_level_stats(self._h, counts.ctypes.data_as(ip),
+                                 sibs.ctypes.data_as(ip))
+        return counts, sibs
+
+
+def size_tree_caps(params, pos, boost: float = 1.6, align: int = 128):
+    """Capacity sizing pre-pass: build the tree natively at large radii and
+    derive per-level capacities/sibling windows with headroom (the
+    tree_size_boost analogue, reference OpenCLAGBNPKernels.h:145)."""
+    from ..models.constants import sphere_volume
+    from ..ops.tree import TreeCaps
+
+    gv = NativeGaussVol(params.n, params.ishydrogen)
+    radii = np.asarray(params.radii_large)
+    volumes = np.where(params.ishydrogen > 0, 0.0, sphere_volume(radii))
+    gv.compute_tree(pos, radii, volumes, params.gamma / params.roffset)
+    counts, sibs = gv.level_stats()
+
+    def r(x):
+        return max(align, int(np.ceil(x / align)) * align)
+
+    caps = tuple(r(counts[k] * boost) for k in range(2, 9))
+    offs = tuple(int(max(4, np.ceil(max(sibs[k + 1] - 1, 1) * 1.5)))
+                 for k in range(2, 8))
+    return TreeCaps(caps=caps, offs=offs)
