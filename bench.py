@@ -33,6 +33,13 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from openmm_agbnp_plugin_tpu.io.dms import load_dms
     from openmm_agbnp_plugin_tpu.md.simulation import Simulation
 

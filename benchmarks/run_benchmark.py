@@ -1,0 +1,77 @@
+"""Per-protein MD benchmark harness, mirroring the reference's example/
+scripts (reference example/t4lysozyme_benchmark.py etc.): load the .dms
+system, run N Langevin steps at 300 K / 1 fs, print elapsed time and ns/day,
+and write final positions/velocities back into a copy of the .dms file.
+
+Usage:
+  python benchmarks/run_benchmark.py --system 1li2_agbnp1 --steps 10000
+  python benchmarks/run_benchmark.py --all --steps 2000
+
+Systems shipped in benchmarks/data: trpcage_agbnp1 (NoCutoff in the
+reference protocol), 1li2_agbnp1 (t4lysozyme), 1dwc_agbnp1, 2clr_agbnp1,
+rnaseh_agbnp1 (CutoffNonPeriodic 1 nm in the reference protocol).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SYSTEMS = ["trpcage_agbnp1", "1li2_agbnp1", "1dwc_agbnp1", "2clr_agbnp1",
+           "rnaseh_agbnp1"]
+
+
+def run_one(name, steps, dtype, out_dms=None):
+    import numpy as np
+
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms, save_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "data", f"{name}.dms")
+    dms = load_dms(path)
+    sim = Simulation(dms, version=1, dtype=dtype)
+    res = sim.benchmark_langevin(nsteps=steps, dt=0.001, temperature=300.0,
+                                 friction=1.0)
+    print(json.dumps(dict(system=name, natoms=dms.n, steps=steps,
+                          elapsed_s=round(res["elapsed_s"], 3),
+                          steps_per_s=round(res["steps_per_s"], 2),
+                          ns_day=round(res["ns_day"], 3),
+                          overflow=res["overflow"])), flush=True)
+    if out_dms:
+        save_dms(path, out_dms, np.asarray(res["final_pos"]),
+                 np.asarray(res["final_vel"]))
+    return res
+
+
+def main():
+    import jax
+    import numpy as np
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--system", default="1li2_agbnp1")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--save", default=None,
+                    help="write final state to this .dms path")
+    args = ap.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    platform = jax.devices()[0].platform
+    dtype = np.float32 if platform != "cpu" else np.float64
+    systems = SYSTEMS if args.all else [args.system]
+    for name in systems:
+        run_one(name, args.steps, dtype,
+                out_dms=args.save if not args.all else None)
+
+
+if __name__ == "__main__":
+    main()

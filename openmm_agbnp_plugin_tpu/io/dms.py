@@ -186,3 +186,30 @@ def load_dms(path: str) -> DMSSystem:
         pair_aij=pair_aij, pair_bij=pair_bij, pair_qij=pair_qij,
         constraint_idx=constraint_idx, constraint_d=constraint_d,
     )
+
+
+def save_dms(path_in: str, path_out: str, positions=None, velocities=None):
+    """Copy a .dms file and write back positions/velocities (nm, nm/ps).
+
+    The reference benchmarks persist state exactly this way: copy the SQLite
+    file and update the particle table (reference
+    example/trpcage_benchmark.py:9-43).
+    """
+    import shutil
+
+    if path_in != path_out:
+        shutil.copyfile(path_in, path_out)
+    con = sqlite3.connect(path_out)
+    cur = con.cursor()
+    if positions is not None:
+        pos = np.asarray(positions) / ANG2NM
+        cur.executemany("UPDATE particle SET x=?, y=?, z=? WHERE id=?",
+                        [(float(p[0]), float(p[1]), float(p[2]), i)
+                         for i, p in enumerate(pos)])
+    if velocities is not None:
+        vel = np.asarray(velocities) / ANG2NM
+        cur.executemany("UPDATE particle SET vx=?, vy=?, vz=? WHERE id=?",
+                        [(float(v[0]), float(v[1]), float(v[2]), i)
+                         for i, v in enumerate(vel)])
+    con.commit()
+    con.close()

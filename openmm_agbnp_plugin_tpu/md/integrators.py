@@ -44,7 +44,7 @@ def langevin_middle_step(force_fn, masses, dt, temp, friction):
 
     def step(state, _):
         pos, vel, key = state
-        energy, force = force_fn(pos)
+        energy, force, *aux = force_fn(pos)
         vel = vel + dt * force * inv_m
         pos = pos + 0.5 * dt * vel
         key, sub = jax.random.split(key)
@@ -52,7 +52,7 @@ def langevin_middle_step(force_fn, masses, dt, temp, friction):
         sigma = jnp.sqrt(KB * temp * inv_m)
         vel = a * vel + b * sigma * noise
         pos = pos + 0.5 * dt * vel
-        return (pos, vel, key), energy
+        return (pos, vel, key), (energy, *aux)
 
     return step
 
@@ -68,9 +68,9 @@ def velocity_verlet_step(force_fn, masses, dt):
         pos, vel, force = state
         vel_half = vel + 0.5 * dt * force * inv_m
         pos = pos + dt * vel_half
-        energy, new_force = force_fn(pos)
+        energy, new_force, *aux = force_fn(pos)
         vel = vel_half + 0.5 * dt * new_force * inv_m
         ke = kinetic_energy(vel, masses)
-        return (pos, vel, new_force), (energy, ke)
+        return (pos, vel, new_force), (energy, ke, *aux)
 
     return step

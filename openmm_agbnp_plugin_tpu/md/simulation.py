@@ -50,7 +50,8 @@ class Simulation:
                              alpha=dms.agbnp_alpha, charge=dms.charges,
                              ishydrogen=dms.ishydrogen)
         self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
-                                dtype=dtype, caps=caps, pairs=pairs)
+                                dtype=dtype, caps=caps, pairs=pairs,
+                                positions=dms.positions)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)
@@ -78,16 +79,19 @@ class Simulation:
                             roffset=self.agbnp.params.roffset,
                             ntypes_j=self.agbnp.ntypes_j,
                             cutoff=self.agbnp.cutoff)
-        return out["energy"], out["force"]
+        return out["energy"], out["force"], out["diag"]["counts"]
 
     def force_fn(self, pairs=None):
+        """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
+        the scan outputs so overflow is detectable after an MD run (the
+        in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634)."""
         def fn(pos):
-            energy, force = self._agbnp_force(pos, pairs)
+            energy, force, counts = self._agbnp_force(pos, pairs)
             if self.mm is not None:
                 e_mm, g_mm = jax.value_and_grad(self.mm.energy)(pos)
                 energy = energy + e_mm
                 force = force - g_mm
-            return energy, force
+            return energy, force, counts
         return fn
 
     def make_langevin_runner(self, dt=0.001, temperature=300.0, friction=1.0,
@@ -107,9 +111,10 @@ class Simulation:
 
             @partial(jax.jit, static_argnames=("nsteps",))
             def run(pos, vel, key, nsteps: int):
-                (pos, vel, key), energies = jax.lax.scan(
+                (pos, vel, key), (energies, counts) = jax.lax.scan(
                     step, (pos, vel, key), length=nsteps)
-                return pos, vel, key, energies
+                return pos, vel, key, energies, (jnp.max(counts, axis=0),
+                                                 jnp.zeros((), jnp.int32))
 
             return run
 
@@ -120,17 +125,19 @@ class Simulation:
 
             def outer(carry, _):
                 pos, vel, key = carry
-                pi, pj, pv, _ = half_neighbor_pairs(pos, heavy, rcut, kmax)
+                pi, pj, pv, nbmax = half_neighbor_pairs(pos, heavy, rcut, kmax)
                 inner = langevin_middle_step(
                     self.force_fn(pairs=(pi, pj, pv)), masses, dt,
                     temperature, friction)
-                (pos, vel, key), energies = jax.lax.scan(
+                (pos, vel, key), (energies, counts) = jax.lax.scan(
                     inner, (pos, vel, key), length=neighbor_every)
-                return (pos, vel, key), energies
+                return (pos, vel, key), (energies, jnp.max(counts, axis=0),
+                                         nbmax)
 
-            (pos, vel, key), energies = jax.lax.scan(
+            (pos, vel, key), (energies, counts, nbmax) = jax.lax.scan(
                 outer, (pos, vel, key), length=nouter)
-            return pos, vel, key, energies.reshape(-1)
+            return (pos, vel, key, energies.reshape(-1),
+                    (jnp.max(counts, axis=0), jnp.max(nbmax)))
 
         return run
 
@@ -140,8 +147,8 @@ class Simulation:
 
         @partial(jax.jit, static_argnames=("nsteps",))
         def run(pos, vel, nsteps: int):
-            _, force = fn(pos)
-            (pos, vel, force), (pe, ke) = jax.lax.scan(
+            _, force, _ = fn(pos)
+            (pos, vel, force), (pe, ke, _) = jax.lax.scan(
                 step, (pos, vel, force), length=nsteps)
             return pos, vel, pe, ke
 
@@ -157,13 +164,16 @@ class Simulation:
         key = jax.random.PRNGKey(seed)
         pos, vel = self.positions, self.velocities
         if warmup:
-            p, v, k, e = run(pos, vel, key, max(neighbor_every, 1))
-            jax.block_until_ready(p)
+            out = run(pos, vel, key, max(neighbor_every, 1))
+            np.asarray(out[0]).ravel()[0:1]  # force full sync through the tunnel
         t0 = time.perf_counter()
-        pos, vel, key, energies = run(pos, vel, key, nsteps)
-        jax.block_until_ready(pos)
+        pos, vel, key, energies, (counts, nbmax) = run(pos, vel, key, nsteps)
+        counts = np.asarray(counts)  # device sync
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
+        overflow = bool((counts > np.asarray(self.agbnp.caps.caps)).any()
+                        or int(nbmax) > self.kmax)
         return dict(ns_day=ns_day, elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
-                    final_pos=pos, final_vel=vel,
+                    final_pos=pos, final_vel=vel, tree_counts_max=counts,
+                    neighbor_max=int(nbmax), overflow=overflow,
                     energies=np.asarray(energies))

@@ -142,15 +142,30 @@ class AGBNPModel:
 
     def __init__(self, params: AGBNPParams, caps: T.TreeCaps | None = None,
                  version: int = 1, cutoff: float | None = None,
-                 dtype=np.float64, pairs=None):
+                 dtype=np.float64, pairs=None, positions=None):
         self.params = params
         self.version = version
         self.cutoff = cutoff
-        self.caps = caps or T.TreeCaps.for_natoms(params.n)
+        if caps is None:
+            caps = self._sized_caps(params, positions)
+        self.caps = caps
         self.dtype = dtype
         self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
         self._build_jit()
+
+    @staticmethod
+    def _sized_caps(params, positions):
+        """Capacity sizing: exact native pre-pass on the given positions
+        (the reference's CPU GaussVol pre-pass analogue) when the native
+        runtime is available, else the measured-ratio heuristic."""
+        if positions is not None:
+            try:
+                from ..runtime.native import size_tree_caps
+                return size_tree_caps(params, np.asarray(positions))
+            except Exception:
+                pass
+        return T.TreeCaps.for_natoms(params.n)
 
     def _build_jit(self):
         self._jit_ef = jax.jit(partial(

@@ -108,8 +108,9 @@ def make_level1(pos, radius, volume, gamma, ishydrogen):
 _D = 12
 
 
-def _level_views(dat, atom, parent, valid):
-    return dict(_dat=dat, atom=atom, parent=parent, valid=valid,
+def _level_views(dat, ints, valid):
+    return dict(_dat=dat, _ints=ints, atom=ints[:, 0], parent=ints[:, 1],
+                valid=valid,
                 gv=dat[:, 0], ga=dat[:, 1], gc=dat[:, 2:5],
                 volume=dat[:, 5], sfp=dat[:, 6], dvv1=dat[:, 7],
                 dv1=dat[:, 8:11], gamma1i=dat[:, 11])
@@ -146,7 +147,7 @@ def _cand_dat(s_gv, s_ga, s_gc, s_gamma, a):
     return dat, sgvol
 
 
-def _compact(mask, cand_dat, cand_atom, cand_parent, cap, parent_cap):
+def _compact(mask, cand_dat, cand_ints, cap, parent_cap):
     """Pack masked candidates into a fixed-capacity level, grouped by parent
     and volume-sorted within each group.
 
@@ -160,7 +161,7 @@ def _compact(mask, cand_dat, cand_atom, cand_parent, cap, parent_cap):
     idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
     valid = jnp.arange(cap) < count
 
-    parent_key = jnp.where(valid, cand_parent[idx], parent_cap)
+    parent_key = jnp.where(valid, cand_ints[:, 1][idx], parent_cap)
     vol_key = jnp.where(valid, cand_dat[:, 5][idx], 0.0)
     perm = jnp.lexsort((-vol_key, parent_key))
     idx = idx[perm]
@@ -168,9 +169,8 @@ def _compact(mask, cand_dat, cand_atom, cand_parent, cap, parent_cap):
     # them at the tail and the validity prefix is unchanged by the perm
 
     dat = jnp.where(valid[:, None], cand_dat[idx], 0.0)
-    atom = jnp.where(valid, cand_atom[idx], 0).astype(jnp.int32)
-    parent = jnp.where(valid, cand_parent[idx], 0).astype(jnp.int32)
-    return _level_views(dat, atom, parent, valid), count
+    ints = jnp.where(valid[:, None], cand_ints[idx], 0)
+    return _level_views(dat, ints, valid), count
 
 
 def _pair_candidates(level1, pairs_i, pairs_j, pairs_valid=None):
@@ -182,7 +182,8 @@ def _pair_candidates(level1, pairs_i, pairs_j, pairs_valid=None):
     mask = survives(sgvol)
     if pairs_valid is not None:
         mask = mask & pairs_valid
-    return dat, pairs_j.astype(jnp.int32), pairs_i.astype(jnp.int32), mask
+    ints = jnp.stack([pairs_j, pairs_i], axis=1).astype(jnp.int32)
+    return dat, ints, mask
 
 
 def _sibling_candidates(level, level1, offs):
@@ -197,16 +198,18 @@ def _sibling_candidates(level, level1, offs):
     """
     cap = level["atom"].shape[0]
 
-    def shifted(x, fill):
-        xp = jnp.pad(x, (0, offs), constant_values=fill)
-        return jnp.stack([xp[o:o + cap] for o in range(1, offs + 1)], axis=1)
-
-    t_valid = shifted(level["valid"], False)
-    t_parent = shifted(level["parent"], -1)
-    t_atom = shifted(level["atom"], 0)
-    pair_ok = (t_valid & level["valid"][:, None]
-               & (t_parent == level["parent"][:, None]))
-    atom2 = jnp.where(pair_ok, t_atom, 0)
+    # one packed int source: [cap, 3] = (atom, parent, valid); one pad + one
+    # stacked shifted-window instead of three
+    src = jnp.concatenate(
+        [level["_ints"], level["valid"][:, None].astype(jnp.int32)], axis=1)
+    srcp = jnp.pad(src, ((0, offs), (0, 0)),
+                   constant_values=-1)  # pad rows: atom -1, parent -1, valid<=0
+    win = jnp.stack([srcp[o:o + cap] for o in range(1, offs + 1)],
+                    axis=1)  # [cap, offs, 3]
+    pair_ok = ((win[:, :, 2] > 0)
+               & level["valid"][:, None]
+               & (win[:, :, 1] == level["parent"][:, None]))
+    atom2 = jnp.where(pair_ok, win[:, :, 0], 0)
 
     dat_s = level["_dat"]
     dat, sgvol = _cand_dat(dat_s[:, 0:1], dat_s[:, 1:2],
@@ -215,9 +218,9 @@ def _sibling_candidates(level, level1, offs):
     mask = pair_ok & survives(sgvol)
     s_idx = jnp.broadcast_to(
         jnp.arange(cap, dtype=jnp.int32)[:, None], (cap, offs))
+    ints = jnp.stack([atom2, s_idx], axis=-1).astype(jnp.int32)
     ncand = cap * offs
-    return (dat.reshape(ncand, _D), atom2.astype(jnp.int32).reshape(ncand),
-            s_idx.reshape(ncand), mask.reshape(ncand))
+    return dat.reshape(ncand, _D), ints.reshape(ncand, 2), mask.reshape(ncand)
 
 
 def _max_siblings(level, parent_cap):
@@ -240,17 +243,17 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None):
     counts = []
     sib_max = []
 
-    dat, catom, cparent, mask = _pair_candidates(level1, pairs_i, pairs_j,
-                                                 pairs_valid)
-    lvl, count = _compact(mask, dat, catom, cparent, caps.caps[0], natoms)
+    dat, cints, mask = _pair_candidates(level1, pairs_i, pairs_j,
+                                        pairs_valid)
+    lvl, count = _compact(mask, dat, cints, caps.caps[0], natoms)
     levels.append(lvl)
     counts.append(count)
     sib_max.append(_max_siblings(lvl, natoms))
 
     for l in range(1, NUM_TREE_LEVELS):
-        dat, catom, cparent, mask = _sibling_candidates(
+        dat, cints, mask = _sibling_candidates(
             levels[-1], level1, caps.offs[l - 1])
-        lvl, count = _compact(mask, dat, catom, cparent, caps.caps[l],
+        lvl, count = _compact(mask, dat, cints, caps.caps[l],
                               caps.caps[l - 1])
         levels.append(lvl)
         counts.append(count)
@@ -294,7 +297,7 @@ def rescan_volumes(levels, level1):
         g0, g1, gc0, gg = cols
         dat, _ = _cand_dat(sp[:, g0], sp[:, g1], sp[:, gc0:gc0 + 3],
                            sp[:, gg], level1["_at"][lvl["atom"]])
-        new_levels.append(_level_views(dat, lvl["atom"], p, lvl["valid"]))
+        new_levels.append(_level_views(dat, lvl["_ints"], lvl["valid"]))
         prev_dat, cols = dat, (0, 1, 2, 11)
     return tuple(new_levels)
 
