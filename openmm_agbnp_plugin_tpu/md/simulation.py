@@ -43,9 +43,10 @@ class Simulation:
     def __init__(self, dms, version: int = 1, cutoff: float | None = None,
                  dtype=np.float64, include_mm: bool = True,
                  caps=None, pairs=None, skin: float = 0.15,
-                 kmax: int | None = None):
+                 kmax: int | None = None, vsites=None):
         self.dms = dms
         self.dtype = dtype
+        self.vsites = vsites.arrays(dtype) if vsites is not None and             getattr(vsites, "count", 0) > 0 else None
         params = AGBNPParams(radius=dms.agbnp_radius, gamma=dms.agbnp_gamma,
                              alpha=dms.agbnp_alpha, charge=dms.charges,
                              ishydrogen=dms.ishydrogen)
@@ -85,12 +86,18 @@ class Simulation:
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634)."""
+        from .vsites import project_positions, spread_forces
+
         def fn(pos):
+            if self.vsites is not None:
+                pos = project_positions(pos, self.vsites)
             energy, force, counts = self._agbnp_force(pos, pairs)
             if self.mm is not None:
                 e_mm, g_mm = jax.value_and_grad(self.mm.energy)(pos)
                 energy = energy + e_mm
                 force = force - g_mm
+            if self.vsites is not None:
+                force = spread_forces(force, self.vsites)
             return energy, force, counts
         return fn
 

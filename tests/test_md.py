@@ -1,0 +1,107 @@
+"""MD-layer tests: MM forces, integrators, conservation, vsites, minimizer."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "data")
+
+
+@pytest.fixture(scope="module")
+def trpcage_sim():
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    dms = load_dms(os.path.join(DATA, "trpcage_agbnp1.dms"))
+    return Simulation(dms, version=1, dtype=np.float64)
+
+
+def test_mm_forces_fd(trpcage_sim):
+    sim = trpcage_sim
+    pos = sim.positions
+    g = jax.grad(sim.mm.energy)(pos)
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        d = jnp.asarray(rng.uniform(-1e-5, 1e-5, size=pos.shape))
+        de = sim.mm.energy(pos + d) - sim.mm.energy(pos - d)
+        assert float(de) == pytest.approx(float(2 * jnp.sum(g * d)), rel=1e-4)
+
+
+def test_langevin_runs_and_reports_no_overflow(trpcage_sim):
+    res = trpcage_sim.benchmark_langevin(nsteps=20, dt=0.001,
+                                         neighbor_every=10, warmup=False)
+    assert np.isfinite(res["energies"]).all()
+    assert not res["overflow"]
+    assert res["tree_counts_max"].shape == (7,)
+
+
+def test_verlet_energy_conservation(trpcage_sim):
+    run = trpcage_sim.make_verlet_runner(dt=0.0005)
+    pos, vel, pe, ke = run(trpcage_sim.positions, trpcage_sim.velocities, 100)
+    tot = np.asarray(pe) + np.asarray(ke)
+    drift = abs(tot[-1] - tot[0])
+    assert drift < 0.05 * abs(tot[0]) + 5.0
+
+
+def test_fire_minimizer(trpcage_sim):
+    from openmm_agbnp_plugin_tpu.md.minimize import fire_minimize
+
+    fn = trpcage_sim.force_fn()
+    pos, energies = fire_minimize(fn, trpcage_sim.positions, maxiter=50)
+    assert float(energies[-1]) < float(energies[0])
+
+
+def test_virtual_sites_project_and_spread():
+    from openmm_agbnp_plugin_tpu.api.hydration import HydrationSites
+    from openmm_agbnp_plugin_tpu.md.vsites import (
+        project_positions,
+        spread_forces,
+    )
+
+    hs = HydrationSites()
+    hs.add_hydrogen_bonding_site(3, heavy=0, hydrogen=1, distance=0.03)
+    vs = hs.virtual_sites().arrays(np.float64)
+
+    pos = jnp.asarray(np.array([[0.0, 0, 0], [0.1, 0, 0],
+                                [5.0, 5, 5], [9.0, 9, 9]]))
+    pos2 = project_positions(pos, vs)
+    np.testing.assert_allclose(np.asarray(pos2[3]), [0.03, 0.0, 0.0],
+                               atol=1e-12)
+
+    force = jnp.zeros((4, 3)).at[3].set(jnp.array([1.0, 2.0, 3.0]))
+    f2 = spread_forces(force, vs)
+    np.testing.assert_allclose(np.asarray(f2[3]), 0.0)
+    np.testing.assert_allclose(np.asarray(f2[0]), 0.7 * np.array([1.0, 2, 3]))
+    np.testing.assert_allclose(np.asarray(f2[1]), 0.3 * np.array([1.0, 2, 3]))
+    # total force conserved
+    np.testing.assert_allclose(np.asarray(f2).sum(0),
+                               np.asarray(force).sum(0))
+
+
+def test_hashtable_parity():
+    from openmm_agbnp_plugin_tpu.utils.hashtable import AGBNPHtable
+
+    t = AGBNPHtable(10)
+    assert t.size() == 16
+    slots = [t.h_enter(v) for v in (5, 21, 37, 8)]  # 5,21,37 collide mod 16
+    assert len(set(slots)) == 4
+    for v in (5, 21, 37, 8):
+        assert t.values[t.h_find(v)] == v
+    assert t.h_find(99) == -1
+
+
+def test_dms_save_roundtrip(tmp_path):
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms, save_dms
+
+    src = os.path.join(DATA, "trpcage_agbnp1.dms")
+    dst = str(tmp_path / "out.dms")
+    dms = load_dms(src)
+    newpos = dms.positions + 0.123
+    newvel = dms.velocities + 0.456
+    save_dms(src, dst, newpos, newvel)
+    dms2 = load_dms(dst)
+    np.testing.assert_allclose(dms2.positions, newpos, atol=1e-12)
+    np.testing.assert_allclose(dms2.velocities, newvel, atol=1e-12)
