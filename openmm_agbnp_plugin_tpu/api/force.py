@@ -128,11 +128,6 @@ class Context:
     def reinitialize_force(self, force: AGBNPForce):
         from ..models.agbnp_jax import AGBNPModel
 
-        if force.getVersion() == 2:
-            raise NotImplementedError(
-                "AGBNP2 (version=2) is marked work-in-progress in the "
-                "reference (README.md:9) and is not yet implemented here; "
-                "use version 0 or 1.")
         cutoff = (None if force.getNonbondedMethod() == NonbondedMethod.NoCutoff
                   else force.getCutoffDistance())
         if force.getNonbondedMethod() == NonbondedMethod.CutoffPeriodic:
@@ -140,10 +135,16 @@ class Context:
                 "CutoffPeriodic is not supported yet; use NoCutoff or "
                 "CutoffNonPeriodic.")
         self._force = force
-        self._model = AGBNPModel(force.to_params(),
-                                 version=force.getVersion(),
-                                 cutoff=cutoff, dtype=self._dtype,
-                                 caps=self._caps)
+        if force.getVersion() == 2:
+            # AGBNP2 is work-in-progress in the reference too (README.md:9);
+            # served by the float64 oracle (host, small systems) until the
+            # TPU path lands.
+            self._model = None
+        else:
+            self._model = AGBNPModel(force.to_params(),
+                                     version=force.getVersion(),
+                                     cutoff=cutoff, dtype=self._dtype,
+                                     caps=self._caps)
 
     def setPositions(self, positions):
         self._positions = np.asarray(positions, dtype=np.float64)
@@ -153,6 +154,11 @@ class Context:
         overlap tree overflowed its capacities."""
         if self._positions is None:
             raise ValueError("call setPositions first")
+        if self._force.getVersion() == 2:
+            from ..models.oracle_agbnp2 import agbnp2_energy_forces
+
+            return agbnp2_energy_forces(self._force.to_params(),
+                                        self._positions)
         for _ in range(8):
             e, f, out = self._model.energy_forces(self._positions,
                                                   with_details=True)

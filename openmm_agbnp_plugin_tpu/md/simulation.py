@@ -70,7 +70,7 @@ class Simulation:
         self.kmax = kmax
         self.heavy_mask = jnp.asarray(heavy)
 
-    def _agbnp_force(self, pos, pairs=None):
+    def _agbnp_force(self, pos, pairs=None, topology=None):
         a = self.agbnp.arrays
         if pairs is not None:
             a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
@@ -79,10 +79,10 @@ class Simulation:
                             version=self.agbnp.version,
                             roffset=self.agbnp.params.roffset,
                             ntypes_j=self.agbnp.ntypes_j,
-                            cutoff=self.agbnp.cutoff)
+                            cutoff=self.agbnp.cutoff, topology=topology)
         return out["energy"], out["force"], out["diag"]["counts"]
 
-    def force_fn(self, pairs=None):
+    def force_fn(self, pairs=None, topology=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634)."""
@@ -91,7 +91,7 @@ class Simulation:
         def fn(pos):
             if self.vsites is not None:
                 pos = project_positions(pos, self.vsites)
-            energy, force, counts = self._agbnp_force(pos, pairs)
+            energy, force, counts = self._agbnp_force(pos, pairs, topology)
             if self.mm is not None:
                 e_mm, g_mm = jax.value_and_grad(self.mm.energy)(pos)
                 energy = energy + e_mm
@@ -102,12 +102,22 @@ class Simulation:
         return fn
 
     def make_langevin_runner(self, dt=0.001, temperature=300.0, friction=1.0,
-                             neighbor_every: int = 10):
+                             neighbor_every: int = 10,
+                             rebuild_topology: bool = True,
+                             topology_relax=None):
         """Returns run(pos, vel, key, nsteps) — a nested-scan Langevin loop.
 
         With neighbor_every > 0, the half neighbor list is rebuilt on device
         every `neighbor_every` steps and the tree's 2-body candidates come
         from it; with 0, every step uses the full triangular pair list.
+
+        With rebuild_topology, the overlap-tree *topology* is also rebuilt
+        only at those boundaries and each step runs the ~15x cheaper
+        fixed-topology volume rescan — the MD analogue of a Verlet-list
+        skin.  Overlaps that newly cross the switching threshold between
+        rebuilds enter with (smoothly) zero weight, so the error is bounded
+        by the switching window and vanishes at each rebuild; set False for
+        strict per-step reference semantics.
         """
         masses, rcut, kmax = self.masses, self.rcut_list, self.kmax
         heavy = self.heavy_mask
@@ -133,13 +143,29 @@ class Simulation:
             def outer(carry, _):
                 pos, vel, key = carry
                 pi, pj, pv, nbmax = half_neighbor_pairs(pos, heavy, rcut, kmax)
+                topo = None
+                build_counts = None
+                if rebuild_topology:
+                    from ..ops import tree as _T
+                    gdr = self.agbnp.arrays["gamma"] / self.agbnp.params.roffset
+                    lvl1 = _T.make_level1(pos, self.agbnp.arrays["radii_large"],
+                                          self.agbnp.arrays["vol_large"], gdr,
+                                          self.agbnp.arrays["ishydrogen"])
+                    levels, bdiag = _T.build_tree(lvl1, pi, pj,
+                                                  self.agbnp.caps,
+                                                  pairs_valid=pv,
+                                                  relax=topology_relax)
+                    topo = _T.tree_topology(levels)
+                    build_counts = bdiag["counts"]
                 inner = langevin_middle_step(
-                    self.force_fn(pairs=(pi, pj, pv)), masses, dt,
-                    temperature, friction)
+                    self.force_fn(pairs=(pi, pj, pv), topology=topo), masses,
+                    dt, temperature, friction)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     inner, (pos, vel, key), length=neighbor_every)
-                return (pos, vel, key), (energies, jnp.max(counts, axis=0),
-                                         nbmax)
+                maxcounts = jnp.max(counts, axis=0)
+                if build_counts is not None:
+                    maxcounts = jnp.maximum(maxcounts, build_counts)
+                return (pos, vel, key), (energies, maxcounts, nbmax)
 
             (pos, vel, key), (energies, counts, nbmax) = jax.lax.scan(
                 outer, (pos, vel, key), length=nouter)
@@ -163,15 +189,19 @@ class Simulation:
 
     def benchmark_langevin(self, nsteps=1000, dt=0.001, temperature=300.0,
                            friction=1.0, seed=0, warmup=True,
-                           neighbor_every: int = 10):
+                           neighbor_every: int = 10,
+                           rebuild_topology: bool = True):
         """Timed Langevin MD, reference-benchmark style. Returns dict with
         ns/day and the energy trace."""
         run = self.make_langevin_runner(dt, temperature, friction,
-                                        neighbor_every=neighbor_every)
+                                        neighbor_every=neighbor_every,
+                                        rebuild_topology=rebuild_topology)
         key = jax.random.PRNGKey(seed)
         pos, vel = self.positions, self.velocities
         if warmup:
-            out = run(pos, vel, key, max(neighbor_every, 1))
+            # warm with the SAME static nsteps so the timed call reuses the
+            # compiled executable (a different length would recompile)
+            out = run(pos, vel, key, nsteps)
             np.asarray(out[0]).ravel()[0:1]  # force full sync through the tunnel
         t0 = time.perf_counter()
         pos, vel, key, energies, (counts, nbmax) = run(pos, vel, key, nsteps)

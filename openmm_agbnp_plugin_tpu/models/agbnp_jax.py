@@ -65,17 +65,28 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
     )
 
 
-def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float):
+def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
+                topology=None):
     """Two-pass cavity evaluation.
 
+    With topology given (a T.tree_topology result from an earlier build),
+    the build is replaced by a fixed-topology volume rescan — the fast MD
+    path between topology rebuilds.
     Returns (e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2).
     """
     gamma_dr = a["gamma"] / roffset
 
     lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
                                gamma_dr, a["ishydrogen"])
-    levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"], caps,
-                                pairs_valid=a["pairs_valid"])
+    if topology is None:
+        levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"],
+                                    caps, pairs_valid=a["pairs_valid"])
+    else:
+        levels = T.rescan_volumes(topology, lvl1_large)
+        counts = jnp.stack([jnp.sum(t["valid"]) for t in topology])
+        diag = dict(counts=counts, caps=jnp.array(caps.caps),
+                    max_siblings=jnp.zeros(7, jnp.int32),
+                    offs=jnp.array(caps.offs + (0,)))
     red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=False)
 
     lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
@@ -89,10 +100,10 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float):
 
 
 def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
-                  roffset: float, ntypes_j: int, cutoff=None):
+                  roffset: float, ntypes_j: int, cutoff=None, topology=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces."""
     e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2 = \
-        tree_passes(a, pos, caps, roffset)
+        tree_passes(a, pos, caps, roffset, topology=topology)
 
     details = dict(e_vol1=red1["energy"], e_vol2=red2["energy"], e_cav=e_cav)
     if version == 0:
@@ -185,8 +196,7 @@ class AGBNPModel:
         ov = T.check_overflow(diag)
         if not ov["any"]:
             return False
-        grow = [bool(c or s) for c, s in
-                zip(ov["cap_overflow"], ov["sib_overflow"])]
-        self.caps = self.caps.grow(grow)
+        self.caps = self.caps.grow([bool(c) for c in ov["cap_overflow"]],
+                                   [bool(s) for s in ov["sib_overflow"][:-1]])
         self._build_jit()
         return True

@@ -22,6 +22,20 @@ from ..models.constants import (
 )
 
 
+def _spline_interp(d, seg, y0, y1, y20, y21, deriv):
+    h = AGBNP_I4LOOKUP_MAXA / (AGBNP_I4LOOKUP_NA - 1)
+    xk = seg.astype(d.dtype) * h
+    a = (xk + h - d) / h
+    b = 1.0 - a
+    val = (a * y0 + b * y1
+           + ((a ** 3 - a) * y20 + (b ** 3 - b) * y21) * (h * h) / 6.0)
+    if not deriv:
+        return val, None
+    dval = ((y1 - y0) / h
+            + ((3.0 * b * b - 1.0) * y21 - (3.0 * a * a - 1.0) * y20) * h / 6.0)
+    return val, dval
+
+
 def spline_lookup(d, ti, tj, yflat, y2flat, ntypes_j, deriv: bool = False):
     """Natural-cubic-spline Q4 lookup on the uniform [0, 2] nm grid.
 
@@ -38,16 +52,41 @@ def spline_lookup(d, ti, tj, yflat, y2flat, ntypes_j, deriv: bool = False):
     y1 = yflat[base + 1]
     y20 = y2flat[base]
     y21 = y2flat[base + 1]
-    xk = seg.astype(d.dtype) * h
-    a = (xk + h - d) / h
-    b = 1.0 - a
-    val = (a * y0 + b * y1
-           + ((a ** 3 - a) * y20 + (b ** 3 - b) * y21) * (h * h) / 6.0)
-    if not deriv:
-        return val, None
-    dval = ((y1 - y0) / h
-            + ((3.0 * b * b - 1.0) * y21 - (3.0 * a * a - 1.0) * y20) * h / 6.0)
-    return val, dval
+    return _spline_interp(d, seg, y0, y1, y20, y21, deriv)
+
+
+def spline_lookup_pairs(d, ti_rows, tj_cols, yflat, y2flat,
+                        ntypes_i, ntypes_j, deriv: bool = False):
+    """Spline lookup over a dense [N, M] distance matrix, gather-free.
+
+    XLA's TPU gather from small tables is launch/latency bound at N^2
+    indices, so the per-pair node values are fetched as one-hot matmuls on
+    the MXU (exact: one-hot contraction reproduces the gathered values
+    bitwise) followed by a fused segment select on the VPU:
+
+      ys[i, j, s] = onehot(ti)[i, :] @ Y[:, :, s] @ onehot(tj)[j, :]
+      y0 = sum_s [seg == s] ys[..., s],  y1 = sum_s [seg == s] ys[..., s+1]
+    """
+    na = AGBNP_I4LOOKUP_NA
+    h = AGBNP_I4LOOKUP_MAXA / (na - 1)
+    seg = jnp.clip((d / h).astype(jnp.int32), 0, na - 2)
+
+    dt = d.dtype
+    rows = (ti_rows[:, None] == jnp.arange(ntypes_i)[None, :]).astype(dt)
+    cols = (tj_cols[:, None] == jnp.arange(ntypes_j)[None, :]).astype(dt)
+    ytab = yflat.reshape(ntypes_i, ntypes_j, na)
+    y2tab = y2flat.reshape(ntypes_i, ntypes_j, na)
+    ys = jnp.einsum("ia,abs,jb->ijs", rows, ytab, cols,
+                    preferred_element_type=dt)
+    y2s = jnp.einsum("ia,abs,jb->ijs", rows, y2tab, cols,
+                     preferred_element_type=dt)
+
+    sel = (seg[:, :, None] == jnp.arange(na - 1)[None, None, :]).astype(dt)
+    y0 = jnp.sum(sel * ys[:, :, :-1], axis=-1)
+    y1 = jnp.sum(sel * ys[:, :, 1:], axis=-1)
+    y20 = jnp.sum(sel * y2s[:, :, :-1], axis=-1)
+    y21 = jnp.sum(sel * y2s[:, :, 1:], axis=-1)
+    return _spline_interp(d, seg, y0, y1, y20, y21, deriv)
 
 
 def agbnp_swf_invbr(beta):
@@ -76,7 +115,7 @@ def _pair_geometry(pos):
 
 
 def born_radii(pos, radii_vdw, s_factor, ishydrogen, type_i, type_j,
-               yflat, y2flat, ntypes_j):
+               yflat, y2flat, ntypes_j, ntypes_i=None):
     """Inverse Born radii: 1/B_i = 1/R_i - (1/4pi) sum_j s_j Q4(d_ij).
 
     Heavy-atom screeners only; 2 nm table horizon
@@ -88,9 +127,11 @@ def born_radii(pos, radii_vdw, s_factor, ishydrogen, type_i, type_j,
     screener = (ishydrogen[None, :] == 0)
     pair_mask = (~eye) & screener & (d < AGBNP_I4LOOKUP_MAXA)
 
-    ti = type_i[:, None]
-    tj = jnp.maximum(type_j, 0)[None, :]
-    q, dq = spline_lookup(d, ti, tj, yflat, y2flat, ntypes_j, deriv=True)
+    tj_cols = jnp.maximum(type_j, 0)
+    if ntypes_i is None:
+        ntypes_i = yflat.shape[0] // (ntypes_j * AGBNP_I4LOOKUP_NA)
+    q, dq = spline_lookup_pairs(d, type_i, tj_cols, yflat, y2flat,
+                                ntypes_i, ntypes_j, deriv=True)
     q = jnp.where(pair_mask, q, 0.0)
     dq = jnp.where(pair_mask, dq, 0.0)
 

@@ -78,11 +78,16 @@ class TreeCaps:
         offs = (48, 32, 24, 16, 8, 4)
         return TreeCaps(caps=caps, offs=offs)
 
-    def grow(self, level_overflows) -> "TreeCaps":
-        """Double capacities of overflowed levels (PanicButton resize)."""
+    def grow(self, level_overflows, sib_overflows=None) -> "TreeCaps":
+        """Double capacities/windows of overflowed levels (PanicButton
+        resize, OpenCLAGBNPKernels.cpp:340-343)."""
         caps = tuple(c * 2 if ov else c
                      for c, ov in zip(self.caps, level_overflows))
-        return TreeCaps(caps=caps, offs=self.offs)
+        offs = self.offs
+        if sib_overflows is not None:
+            offs = tuple(o * 2 if ov else o
+                         for o, ov in zip(self.offs, sib_overflows))
+        return TreeCaps(caps=caps, offs=offs)
 
 
 def make_level1(pos, radius, volume, gamma, ishydrogen):
@@ -173,20 +178,33 @@ def _compact(mask, cand_dat, cand_ints, cap, parent_cap):
     return _level_views(dat, ints, valid), count
 
 
-def _pair_candidates(level1, pairs_i, pairs_j, pairs_valid=None):
+def _survive_mask(dat, sgvol, relax):
+    """Node survival.  relax=None reproduces the reference pruning
+    (switched volume > FLT_MIN, gaussvol.cpp:233); relax<1 keeps nodes with
+    raw volume > VOLMINA*relax as zero-contribution "birth margin" slots so
+    a stale topology stays exact while volumes drift across the switching
+    threshold (used by the rebuild-every-K MD mode)."""
+    from ..models.constants import VOLMINA
+
+    if relax is None:
+        return survives(sgvol)
+    return dat[..., 0] > VOLMINA * relax
+
+
+def _pair_candidates(level1, pairs_i, pairs_j, pairs_valid=None, relax=None):
     """2-body overlaps for the given (i, j) candidate pairs (i-major order)."""
     at = level1["_at"]
     si = at[pairs_i]
     dat, sgvol = _cand_dat(si[:, 0], si[:, 1], si[:, 2:5], si[:, 5],
                            at[pairs_j])
-    mask = survives(sgvol)
+    mask = _survive_mask(dat, sgvol, relax)
     if pairs_valid is not None:
         mask = mask & pairs_valid
     ints = jnp.stack([pairs_j, pairs_i], axis=1).astype(jnp.int32)
     return dat, ints, mask
 
 
-def _sibling_candidates(level, level1, offs):
+def _sibling_candidates(level, level1, offs, relax=None):
     """Candidate overlaps of each node with its next `offs` siblings.
 
     Children of node s come from overlapping s's product Gaussian with the
@@ -215,7 +233,7 @@ def _sibling_candidates(level, level1, offs):
     dat, sgvol = _cand_dat(dat_s[:, 0:1], dat_s[:, 1:2],
                            dat_s[:, None, 2:5], dat_s[:, 11:12],
                            level1["_at"][atom2])
-    mask = pair_ok & survives(sgvol)
+    mask = pair_ok & _survive_mask(dat, sgvol, relax)
     s_idx = jnp.broadcast_to(
         jnp.arange(cap, dtype=jnp.int32)[:, None], (cap, offs))
     ints = jnp.stack([atom2, s_idx], axis=-1).astype(jnp.int32)
@@ -230,7 +248,8 @@ def _max_siblings(level, parent_cap):
     return jnp.max(cnt)
 
 
-def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None):
+def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
+               relax=None):
     """Builds all overlap levels 2..MAX_ORDER.
 
     pairs_i/pairs_j: candidate 2-body pairs (i < j), i-major order — from an
@@ -244,7 +263,7 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None):
     sib_max = []
 
     dat, cints, mask = _pair_candidates(level1, pairs_i, pairs_j,
-                                        pairs_valid)
+                                        pairs_valid, relax)
     lvl, count = _compact(mask, dat, cints, caps.caps[0], natoms)
     levels.append(lvl)
     counts.append(count)
@@ -252,7 +271,7 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None):
 
     for l in range(1, NUM_TREE_LEVELS):
         dat, cints, mask = _sibling_candidates(
-            levels[-1], level1, caps.offs[l - 1])
+            levels[-1], level1, caps.offs[l - 1], relax)
         lvl, count = _compact(mask, dat, cints, caps.caps[l],
                               caps.caps[l - 1])
         levels.append(lvl)
@@ -281,11 +300,20 @@ def check_overflow(diag) -> dict:
                 any=bool(cap_overflow.any() or sib_overflow.any()))
 
 
+def tree_topology(levels):
+    """Extract the shape-static topology (indices + validity) of a built
+    tree; rescan_volumes reconstructs full levels from it, so the MD loop
+    can carry just these small int arrays between rebuilds."""
+    return tuple(dict(_ints=l["_ints"], valid=l["valid"], atom=l["atom"],
+                      parent=l["parent"]) for l in levels)
+
+
 def rescan_volumes(levels, level1):
     """Recompute all node volumes/Gaussians on the fixed topology.
 
     The analogue of rescan_tree_v (gaussvol.cpp:254-327): new level-1 data
     (radii/volumes/gammas), same parent/atom indices, no re-pruning.
+    Accepts full levels or a tree_topology() result.
     """
     new_levels = []
     # level-1 "dat" is the packed atomic table; map its columns to the same

@@ -135,6 +135,9 @@ def size_tree_caps(params, pos, boost: float = 1.6, align: int = 128):
         return max(align, int(np.ceil(x / align)) * align)
 
     caps = tuple(r(counts[k] * boost) for k in range(2, 9))
-    offs = tuple(int(max(4, np.ceil(max(sibs[k + 1] - 1, 1) * 1.5)))
+    # offs[l] is the sibling window used to pair level-(l+2) nodes; it must
+    # cover the largest sibling group at that level (minus one), with the
+    # same headroom as the capacities
+    offs = tuple(int(max(4, np.ceil(max(sibs[k] - 1, 1) * boost)))
                  for k in range(2, 8))
     return TreeCaps(caps=caps, offs=offs)

@@ -1,0 +1,70 @@
+"""AGBNP2 (version 2) oracle validation.
+
+No golden outputs exist for AGBNP2 (the reference marks it work-in-progress
+and ships none), so validation follows the reference's own compiled-out
+strategy: finite-difference checks of the analytic forces
+(reference ReferenceAGBNPKernels.cpp:943-1010, 1143-1216) plus structural
+sanity of the MS-particle stage.
+"""
+
+import numpy as np
+import pytest
+
+from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+from openmm_agbnp_plugin_tpu.models.oracle_agbnp2 import (
+    _make_ms_particles,
+    agbnp2_energy_forces,
+)
+
+
+@pytest.fixture(scope="module")
+def small_system(gaussvol_system):
+    params, pos = gaussvol_system
+    nsub = 40
+    return AGBNPParams(radius=params.radius[:nsub], gamma=params.gamma[:nsub],
+                       alpha=params.alpha[:nsub], charge=params.charge[:nsub],
+                       ishydrogen=params.ishydrogen[:nsub]), pos[:nsub]
+
+
+def test_ms_particles_created(small_system):
+    params, pos = small_system
+    from openmm_agbnp_plugin_tpu.models.constants import AGBNP2_RADIUS_INCREMENT
+
+    p2 = AGBNPParams(radius=params.radius, gamma=params.gamma,
+                     alpha=params.alpha, charge=params.charge,
+                     ishydrogen=params.ishydrogen,
+                     roffset=AGBNP2_RADIUS_INCREMENT)
+    msps = _make_ms_particles(p2, pos)
+    assert len(msps) > 0
+    for m in msps[:5]:
+        assert params.ishydrogen[m.parent1] == 0
+        assert params.ishydrogen[m.parent2] == 0
+        assert m.vol0 > 0
+
+
+def test_agbnp2_energy_finite(small_system):
+    params, pos = small_system
+    e, f, det = agbnp2_energy_forces(params, pos, return_details=True)
+    assert np.isfinite(e)
+    assert np.isfinite(f).all()
+    assert det["num_ms"] > 0
+    # the MS term must actually contribute
+    assert det["e_ms1"] != 0.0
+
+
+def test_agbnp2_force_fd_global(small_system):
+    """Global dE vs -F.dx.  The reference's v2 force chain is knowingly
+    incomplete (WIP; its FD checks are compiled out); this oracle carries
+    two corrections beyond it (the complete MS U/W gamma assignment and the
+    free-volume/MS-position Newton leg) and is validated here to the few-
+    percent-of-dE level.  Machine-exact v2 forces come from the JAX energy +
+    autodiff path."""
+    params, pos = small_system
+    e0, force = agbnp2_energy_forces(params, pos)
+    rng = np.random.default_rng(5)
+    d = rng.uniform(-5e-5, 5e-5, size=pos.shape)
+    ep, _ = agbnp2_energy_forces(params, pos + d)
+    em, _ = agbnp2_energy_forces(params, pos - d)
+    de = ep - em
+    pred = -2.0 * np.sum(force * d)
+    assert de == pytest.approx(pred, rel=5e-2, abs=5e-3)
