@@ -65,9 +65,22 @@ def test_context_energy_golden(gaussvol_system):
     assert float(e) == pytest.approx(-2476.66, abs=0.01)
 
 
-def test_context_v2_not_implemented(gaussvol_system):
+def test_context_v2_oracle_backed(gaussvol_system):
+    """Version 2 is served by the float64 AGBNP2 oracle (the reference marks
+    AGBNP2 work-in-progress; see models/oracle_agbnp2.py)."""
     params, pos = gaussvol_system
     force = _build_force(params, pos, version=1)
     force.setVersion(2)
-    with pytest.raises(NotImplementedError):
-        Context(force)
+    ctx = Context(force)
+    ctx.setPositions(pos[:48])  # small subset: the oracle is O(N^2 x MS)
+    # rebuild force table for the subset
+    f2 = AGBNPForce()
+    f2.setVersion(2)
+    for i in range(48):
+        f2.addParticle(params.radius[i], params.gamma[i], params.alpha[i],
+                       params.charge[i], bool(params.ishydrogen[i]))
+    ctx = Context(f2)
+    ctx.setPositions(pos[:48])
+    e, f = ctx.getEnergyForces()
+    assert np.isfinite(e)
+    assert np.isfinite(np.asarray(f)).all()
