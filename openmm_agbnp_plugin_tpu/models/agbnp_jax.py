@@ -78,21 +78,25 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
 
     lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
                                gamma_dr, a["ishydrogen"])
+    lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
+                             -gamma_dr, a["ishydrogen"])
     if topology is None:
         levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"],
                                     caps, pairs_valid=a["pairs_valid"])
+        red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=False)
+        levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
+        red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
     else:
-        levels = T.rescan_volumes(topology, lvl1_large)
+        # fast MD path: both parameterizations rescanned and reduced in one
+        # fused sweep over the fixed topology
         counts = jnp.stack([jnp.sum(t["valid"]) for t in topology])
         diag = dict(counts=counts, caps=jnp.array(caps.caps),
                     max_siblings=jnp.zeros(7, jnp.int32),
                     offs=jnp.array(caps.offs + (0,)))
-    red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=False)
-
-    lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
-                             -gamma_dr, a["ishydrogen"])
-    levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
-    red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
+        levels_large, levels_vdw = T.rescan_volumes2(topology, lvl1_large,
+                                                     lvl1_vdw)
+        red1, red2 = T.reduce_tree2(levels_large, levels_vdw,
+                                    lvl1_large, lvl1_vdw)
 
     e_cav = red1["energy"] + red2["energy"]
     f_cav = -(red1["dr"] + red2["dr"])

@@ -373,8 +373,10 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
     i_fv = 5 + (1 if with_selfvol else 0)
 
     acc = None
-    deposits = jnp.zeros((natoms, n_up - 2 + (1 if with_dv else 0)), dtype)
-    # deposit channels: [drx, dry, drz] (+ sv) (+ fv) (+ dv)
+    # deposit channels: [drx, dry, drz] (+ sv) (+ fv) (+ dv); all levels'
+    # deposits are concatenated and scattered in ONE segment-sum at the end
+    dep_rows = []
+    dep_atoms = []
 
     for l in range(NUM_TREE_LEVELS - 1, -1, -1):
         lvl = levels[l]
@@ -414,9 +416,8 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
             dep_cols.append(tot[:, i_fv:i_fv + 1])
         if with_dv:
             dep_cols.append((lvl["gv"] * e_f)[:, None])
-        dep = jnp.concatenate(dep_cols, axis=1) * vmask[:, None]
-        deposits = deposits + jax.ops.segment_sum(dep, lvl["atom"],
-                                                  num_segments=natoms)
+        dep_rows.append(jnp.concatenate(dep_cols, axis=1) * vmask[:, None])
+        dep_atoms.append(lvl["atom"])
 
         # transform and pass up, one packed segment-sum
         p_out = lvl["dv1"] * e_f[:, None] + e_p * c2p[:, None]
@@ -428,6 +429,10 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
         ], axis=1) * vmask[:, None]
         num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
         acc = jax.ops.segment_sum(up, lvl["parent"], num_segments=num_parents)
+
+    deposits = jax.ops.segment_sum(jnp.concatenate(dep_rows, axis=0),
+                                   jnp.concatenate(dep_atoms, axis=0),
+                                   num_segments=natoms)
 
     # level 1 (atoms): volcoeff = volcoeffp = 1, sfp = 1, dvv1 = 1, dv1 = 0,
     # c2 = 1, c2p = 0 (gaussvol.cpp:413-435 with level == 1)
@@ -451,3 +456,108 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
     if with_dv:
         result["dv"] = vol * e_f + deposits[:, col]
     return result
+
+
+def rescan_volumes2(levels, level1_a, level1_b):
+    """Fixed-topology volume rescan for TWO parameterizations at once.
+
+    The AGBNP cavity term evaluates the same topology twice (large radii,
+    then vdW radii, ReferenceAGBNPKernels.cpp:293-384); fusing both into one
+    sweep halves the gather/launch count: each level does ONE gather of the
+    packed [cap, 24] parent matrix and one of the [N, 12] atomic matrix.
+
+    Returns (levels_a, levels_b).
+    """
+    out_a, out_b = [], []
+    at2 = jnp.concatenate([level1_a["_at"], level1_b["_at"]], axis=1)  # [N,12]
+    prev = at2
+    prev_cols = ((0, 1, 2, 5), (6, 7, 8, 11))  # (gv, ga, gc0, gamma) per half
+    for lvl in levels:
+        p = lvl["parent"]
+        sp = prev[p]
+        a2 = at2[lvl["atom"]]
+        (ga0, ga1, gac, gag), (gb0, gb1, gbc, gbg) = prev_cols
+        dat_a, _ = _cand_dat(sp[:, ga0], sp[:, ga1], sp[:, gac:gac + 3],
+                             sp[:, gag], a2[:, 0:6])
+        dat_b, _ = _cand_dat(sp[:, gb0], sp[:, gb1], sp[:, gbc:gbc + 3],
+                             sp[:, gbg], a2[:, 6:12])
+        out_a.append(_level_views(dat_a, lvl["_ints"], lvl["valid"]))
+        out_b.append(_level_views(dat_b, lvl["_ints"], lvl["valid"]))
+        prev = jnp.concatenate([dat_a, dat_b], axis=1)  # [cap, 24]
+        prev_cols = ((0, 1, 2, 11), (12, 13, 14, 23))
+    return tuple(out_a), tuple(out_b)
+
+
+def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
+                 with_selfvol_b: bool = True):
+    """Bottom-up reduction of two same-topology trees in one sweep.
+
+    Packs both trees' accumulator channels into one matrix so each level
+    runs a single upward segment-sum; deposits are batched into one scatter.
+    Returns (result_a, result_b) like reduce_tree(with_selfvol=False) and
+    reduce_tree(with_selfvol=with_selfvol_b).
+    """
+    natoms = level1_a["gv"].shape[0]
+    dtype = level1_a["gv"].dtype
+    nb = 5 + (1 if with_selfvol_b else 0)
+
+    acc = None
+    dep_rows = []
+    dep_atoms = []
+
+    for l in range(NUM_TREE_LEVELS - 1, -1, -1):
+        la = levels_a[l]
+        lb = levels_b[l]
+        level_no = l + 2
+        cf = -1.0 if level_no % 2 == 0 else 1.0
+        volcoeffp = cf / level_no
+        valid = la["valid"]
+        vmask = valid.astype(dtype)
+
+        cols = []
+        for lv, l1 in ((la, level1_a), (lb, level1_b)):
+            gsfp = volcoeffp * lv["sfp"] * lv["gamma1i"]
+            cols += [volcoeffp * lv["gamma1i"] * lv["volume"], gsfp]
+            cols += [jnp.zeros_like(gsfp)] * 3
+        if with_selfvol_b:
+            cols.append(volcoeffp * lb["volume"])
+        tot = jnp.stack(cols, axis=1) * vmask[:, None]
+        if acc is not None:
+            tot = tot + acc
+
+        dep_cols = []
+        ups = []
+        for base, lv, l1 in ((0, la, level1_a), (5, lb, level1_b)):
+            e_f = tot[:, base + 1]
+            e_p = tot[:, base + 2:base + 5]
+            ai = l1["ga"][lv["atom"]]
+            a1i = lv["ga"]
+            safe = jnp.where(valid, a1i, 1.0)
+            dep_cols.append((-lv["dv1"]) * e_f[:, None] + e_p * (ai / safe)[:, None])
+            p_out = lv["dv1"] * e_f[:, None] + e_p * ((a1i - ai) / safe)[:, None]
+            ups += [tot[:, base:base + 1], (lv["dvv1"] * e_f)[:, None], p_out]
+        if with_selfvol_b:
+            dep_cols.append(tot[:, 10:11])
+            ups.append(tot[:, 10:11])
+        dep_rows.append(jnp.concatenate(dep_cols, axis=1) * vmask[:, None])
+        dep_atoms.append(la["atom"])
+
+        up = jnp.concatenate(ups, axis=1) * vmask[:, None]
+        num_parents = natoms if l == 0 else levels_a[l - 1]["valid"].shape[0]
+        acc = jax.ops.segment_sum(up, la["parent"], num_segments=num_parents)
+
+    deposits = jax.ops.segment_sum(jnp.concatenate(dep_rows, axis=0),
+                                   jnp.concatenate(dep_atoms, axis=0),
+                                   num_segments=natoms)
+
+    results = []
+    for base, dbase, l1 in ((0, 0, level1_a), (5, 3, level1_b)):
+        gamma = l1["gamma1i"]
+        vol = l1["gv"]
+        e_psi = gamma * vol + acc[:, base]
+        dr = deposits[:, dbase:dbase + 3] + acc[:, base + 2:base + 5]
+        results.append(dict(energy=jnp.sum(e_psi), dr=dr))
+    if with_selfvol_b:
+        results[1]["self_volume"] = (level1_b["gv"] + acc[:, 10]
+                                     + deposits[:, 6])
+    return results[0], results[1]
