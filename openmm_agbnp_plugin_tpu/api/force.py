@@ -136,9 +136,9 @@ class Context:
                 "CutoffNonPeriodic.")
         self._force = force
         if force.getVersion() == 2:
-            # AGBNP2 is work-in-progress in the reference too (README.md:9);
-            # served by the float64 oracle (host, small systems) until the
-            # TPU path lands.
+            # AGBNP2: JAX energy with exact autodiff forces (the reference's
+            # own v2 force chain is incomplete/WIP); model built lazily on
+            # first evaluation since MS sizing needs positions.
             self._model = None
         else:
             self._model = AGBNPModel(force.to_params(),
@@ -155,10 +155,16 @@ class Context:
         if self._positions is None:
             raise ValueError("call setPositions first")
         if self._force.getVersion() == 2:
-            from ..models.oracle_agbnp2 import agbnp2_energy_forces
+            from ..models.agbnp2_jax import AGBNP2Model
 
-            return agbnp2_energy_forces(self._force.to_params(),
-                                        self._positions)
+            if self._model is None:
+                self._model = AGBNP2Model(self._force.to_params(),
+                                          dtype=self._dtype,
+                                          positions=self._positions,
+                                          cutoff=(None if self._force.getNonbondedMethod()
+                                                  == NonbondedMethod.NoCutoff
+                                                  else self._force.getCutoffDistance()))
+            return self._model.energy_forces(self._positions)
         for _ in range(8):
             e, f, out = self._model.energy_forces(self._positions,
                                                   with_details=True)

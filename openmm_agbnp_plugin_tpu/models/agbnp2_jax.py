@@ -1,0 +1,254 @@
+"""AGBNP2 (version 2) on the TPU compute path: JAX energy + autodiff forces.
+
+Reuses the flattened-tree machinery for the second (molecular-surface)
+overlap tree: MS water-probe particles are generated from a padded heavy-pair
+list, their free volumes come from dense [cap_ms, N] Gaussian subtractions,
+and both MS passes (vdW and large free volumes) run over one built topology
+(reference ReferenceAGBNPKernels.cpp:797-1793).
+
+Forces are -jax.grad of the energy.  The reference's hand-written v2 force
+chain is knowingly incomplete (WIP; see models/oracle_agbnp2.py) — autodiff
+through this energy gives the exact gradient of the same energy function,
+which is the TPU-native resolution of that gap.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import born as B
+from ..ops import tree as T
+from ..ops.neighbors import half_neighbor_pairs, tree_pair_cutoff
+from .constants import (
+    AGBNP2_RADIUS_INCREMENT,
+    KFC,
+    PI,
+    SOLVENT_RADIUS,
+    ANG3,
+    sphere_volume,
+)
+from .i4_tables import I4LookupTables
+from .oracle import AGBNPParams
+
+VOLMINMSA = 0.25 * ANG3
+VOLMINMSB = 1.00 * ANG3
+VOL_COEFF = 0.17
+FLT_MIN = 1.1754943508222875e-38
+
+
+def _ms_switch(v):
+    """Quintic switch on the MS window (VOLMINMSA..VOLMINMSB)."""
+    u = jnp.clip((v - VOLMINMSA) / (VOLMINMSB - VOLMINMSA), 0.0, 1.0)
+    return u ** 3 * (10.0 - 15.0 * u + 6.0 * u ** 2)
+
+
+def ms_pair_cutoff(radii_vdw) -> float:
+    """Distance beyond which a heavy pair cannot spawn an MS particle."""
+    radw = SOLVENT_RADIUS
+    rmax = float(np.max(np.asarray(radii_vdw)))
+    q = rmax / radw
+    volms0 = VOL_COEFF * q * q * sphere_volume(radw)
+    sigma = 0.5 * math.sqrt(q) * radw
+    dms = 2 * rmax + 0.5 * radw
+    if volms0 <= VOLMINMSA:
+        return dms
+    return dms + sigma * math.sqrt(2.0 * math.log(volms0 / VOLMINMSA)) + 0.05
+
+
+def ms_particles(pos, radii_vdw, pi, pj, pvalid, cap_ms):
+    """Padded MS particle set from heavy candidate pairs
+    (reference cpp:895-941).  Returns dict(pos, vol0, p1, p2, valid)."""
+    radw = SOLVENT_RADIUS
+    volw = sphere_volume(radw)
+    r1 = radii_vdw[pi]
+    r2 = radii_vdw[pj]
+    q = jnp.sqrt(r1 * r2) / radw
+    dist = pos[pj] - pos[pi]
+    d = jnp.sqrt(jnp.sum(dist * dist, axis=-1) + 1e-30)
+    dms = r1 + r2 + 0.5 * radw
+    volms0 = VOL_COEFF * q * q * volw
+    sigma = 0.5 * jnp.sqrt(q) * radw
+    volms = volms0 * jnp.exp(-0.5 * (d - dms) ** 2 / (sigma * sigma))
+    s = _ms_switch(volms)
+    volmsw = volms * s
+    mask = pvalid & (volmsw > FLT_MIN)
+
+    fms = 0.5 * (1.0 + (r1 - r2) / d)
+    posms = pos[pj] * fms[:, None] + pos[pi] * (1.0 - fms)[:, None]
+
+    count = jnp.sum(mask)
+    idx = jnp.nonzero(mask, size=cap_ms, fill_value=0)[0]
+    valid = jnp.arange(cap_ms) < count
+    return dict(
+        pos=jnp.where(valid[:, None], posms[idx], 0.0),
+        vol0=jnp.where(valid, volmsw[idx], 0.0),
+        p1=jnp.where(valid, pi[idx], 0).astype(jnp.int32),
+        p2=jnp.where(valid, pj[idx], 0).astype(jnp.int32),
+        valid=valid,
+        count=count,
+    )
+
+
+def ms_free_volumes(ms, pos, radii, self_volume, ishydrogen):
+    """Subtract self-volume-weighted atomic Gaussians from each MS sphere
+    (reference cpp:1013-1048).  Dense [cap_ms, N]."""
+    radw = SOLVENT_RADIUS
+    ams = KFC / (radw * radw)
+    ai = KFC / (radii * radii)
+
+    dist = pos[None, :, :] - ms["pos"][:, None, :]
+    d2 = jnp.sum(dist * dist, axis=-1)
+    a12 = ams + ai[None, :]
+    df = ams * ai[None, :] / a12
+    gvol = (ms["vol0"][:, None] * self_volume[None, :]
+            / (PI / df) ** 1.5) * jnp.exp(-df * d2)
+    sub_mask = ((ishydrogen[None, :] == 0)
+                & (jnp.arange(pos.shape[0])[None, :] != ms["p1"][:, None])
+                & (jnp.arange(pos.shape[0])[None, :] != ms["p2"][:, None]))
+    # the subtracted overlaps use the ATOMIC switching window
+    # (ogauss_alpha, reference cpp:1038), the free volume itself the MS one
+    from ..ops.gaussians import pol_switchfunc
+    s, _ = pol_switchfunc(gvol)
+    fv = ms["vol0"] - jnp.sum(jnp.where(sub_mask, s * gvol, 0.0), axis=1)
+    return fv * _ms_switch(fv) * ms["valid"].astype(fv.dtype)
+
+
+def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
+                  ms_pi, ms_pj, ms_pv, cap_ms, ms_kmax, common_gamma,
+                  cutoff=None):
+    """Total AGBNP2 energy as one jittable function of positions."""
+    gamma_dr = a["gamma"] / roffset
+    radw = SOLVENT_RADIUS
+
+    # atomic cavity passes
+    lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
+                               gamma_dr, a["ishydrogen"])
+    levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"], caps,
+                                pairs_valid=a["pairs_valid"])
+    red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=True)
+    lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
+                             -gamma_dr, a["ishydrogen"])
+    levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
+    red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
+    energy = red1["energy"] + red2["energy"]
+
+    # MS particles + free volumes
+    ms = ms_particles(pos, a["radii_vdw"], ms_pi, ms_pj, ms_pv, cap_ms)
+    fv_large = ms_free_volumes(ms, pos, a["radii_large"],
+                               red1["self_volume"], a["ishydrogen"])
+    fv_vdw = ms_free_volumes(ms, pos, a["radii_vdw"],
+                             red2["self_volume"], a["ishydrogen"])
+
+    # MS overlap tree built at vdW free volumes
+    n_ms = cap_ms
+    gamma_ms = jnp.full(n_ms, -common_gamma / roffset, pos.dtype)
+    lvl1_ms = T.make_level1(ms["pos"], jnp.full(n_ms, radw, pos.dtype),
+                            fv_vdw, gamma_ms, 1 - ms["valid"].astype(jnp.int32))
+    mpi, mpj, mpv, _ = half_neighbor_pairs(ms["pos"], ms["valid"],
+                                           tree_pair_cutoff([radw]), ms_kmax)
+    mlevels, mdiag = T.build_tree(lvl1_ms, mpi, mpj, caps_ms, pairs_valid=mpv)
+    mred2 = T.reduce_tree(mlevels, lvl1_ms, with_selfvol=True)
+    energy = energy + mred2["energy"]
+
+    # MS self volumes added 50/50 to parents
+    svadd = (0.5 * jax.ops.segment_sum(mred2["self_volume"], ms["p1"],
+                                       num_segments=pos.shape[0])
+             + 0.5 * jax.ops.segment_sum(mred2["self_volume"], ms["p2"],
+                                         num_segments=pos.shape[0]))
+    self_volume = red2["self_volume"] + svadd
+
+    # GB / vdW phases (shared with AGBNP1)
+    s_factor = self_volume / a["vol_vdw_all"]
+    geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
+                        a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
+                        ntypes_j)
+    br = geom["born_radius"]
+    gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff)
+    e_vdw = B.vdw_energy(a["alpha"], br)
+    energy = energy + gb["gb_self"] + gb["gb_pair"] + e_vdw
+
+    # MS pass with large-radii free volumes
+    lvl1_ms_l = T.make_level1(ms["pos"], jnp.full(n_ms, radw, pos.dtype),
+                              fv_large, -gamma_ms,
+                              1 - ms["valid"].astype(jnp.int32))
+    mlevels_l = T.rescan_volumes(mlevels, lvl1_ms_l)
+    mred1 = T.reduce_tree(mlevels_l, lvl1_ms_l, with_selfvol=False)
+    energy = energy + mred1["energy"]
+
+    details = dict(e_vol1=red1["energy"], e_vol2=red2["energy"],
+                   e_ms_vdw=mred2["energy"], e_ms_large=mred1["energy"],
+                   gb_self=gb["gb_self"], gb_pair=gb["gb_pair"], e_vdw=e_vdw,
+                   num_ms=ms["count"], self_volume=self_volume,
+                   born_radius=br)
+    return energy, (diag, mdiag), details
+
+
+class AGBNP2Model:
+    """Prepared AGBNP2 system: jitted energy and autodiff forces."""
+
+    def __init__(self, params_in: AGBNPParams, dtype=np.float32,
+                 positions=None, cutoff=None, ms_boost: float = 1.6):
+        from .agbnp_jax import prepare_arrays
+
+        params = AGBNPParams(radius=params_in.radius, gamma=params_in.gamma,
+                             alpha=params_in.alpha, charge=params_in.charge,
+                             ishydrogen=params_in.ishydrogen,
+                             roffset=AGBNP2_RADIUS_INCREMENT)
+        self.params = params
+        self.dtype = dtype
+        self.cutoff = cutoff
+        self.arrays = prepare_arrays(params, dtype=dtype)
+        self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
+        heavy = np.asarray(params.ishydrogen) == 0
+        g = np.asarray(params.gamma)[heavy]
+        self.common_gamma = float(g[0]) if len(g) else 0.0
+
+        if positions is None:
+            raise ValueError("AGBNP2Model needs initial positions for sizing")
+        pos = np.asarray(positions)
+        try:
+            from ..runtime.native import size_tree_caps
+            self.caps = size_tree_caps(params, pos)
+        except Exception:
+            self.caps = T.TreeCaps.for_natoms(params.n)
+
+        # MS candidate pairs + capacity sizing (host pre-pass)
+        rc = ms_pair_cutoff(params.radii_vdw)
+        d = np.linalg.norm(pos[None] - pos[:, None], axis=-1)
+        jj = np.arange(params.n)
+        ok = ((jj[None, :] > jj[:, None]) & (d < rc)
+              & heavy[:, None] & heavy[None, :])
+        pi, pj = np.nonzero(ok)
+        self.ms_pi = jnp.asarray(pi, jnp.int32)
+        self.ms_pj = jnp.asarray(pj, jnp.int32)
+        self.ms_pv = jnp.ones(len(pi), bool)
+        self.cap_ms = max(128, int(np.ceil(len(pi) * ms_boost / 128)) * 128)
+        self.ms_kmax = 64
+        self.caps_ms = T.TreeCaps.for_natoms(max(self.cap_ms // 8, 64))
+
+        ef = partial(agbnp2_energy, caps=self.caps, caps_ms=self.caps_ms,
+                     roffset=params.roffset, ntypes_j=self.ntypes_j,
+                     cap_ms=self.cap_ms, ms_kmax=self.ms_kmax,
+                     common_gamma=self.common_gamma, cutoff=self.cutoff)
+
+        def e_only(a, q, mpi, mpj, mpv):
+            return ef(a, q, ms_pi=mpi, ms_pj=mpj, ms_pv=mpv)[0]
+
+        def ef_full(a, q, mpi, mpj, mpv):
+            e, diags, details = ef(a, q, ms_pi=mpi, ms_pj=mpj, ms_pv=mpv)
+            force = -jax.grad(e_only, argnums=1)(a, q, mpi, mpj, mpv)
+            return dict(energy=e, force=force, diags=diags, details=details)
+
+        self._jit = jax.jit(ef_full)
+
+    def energy_forces(self, pos, with_details: bool = False):
+        out = self._jit(self.arrays, jnp.asarray(pos, self.dtype),
+                        self.ms_pi, self.ms_pj, self.ms_pv)
+        if with_details:
+            return out["energy"], out["force"], out
+        return out["energy"], out["force"]

@@ -76,16 +76,23 @@ def spline_lookup_pairs(d, ti_rows, tj_cols, yflat, y2flat,
     cols = (tj_cols[:, None] == jnp.arange(ntypes_j)[None, :]).astype(dt)
     ytab = yflat.reshape(ntypes_i, ntypes_j, na)
     y2tab = y2flat.reshape(ntypes_i, ntypes_j, na)
-    ys = jnp.einsum("ia,abs,jb->ijs", rows, ytab, cols,
-                    preferred_element_type=dt)
-    y2s = jnp.einsum("ia,abs,jb->ijs", rows, y2tab, cols,
-                     preferred_element_type=dt)
 
-    sel = (seg[:, :, None] == jnp.arange(na - 1)[None, None, :]).astype(dt)
-    y0 = jnp.sum(sel * ys[:, :, :-1], axis=-1)
-    y1 = jnp.sum(sel * ys[:, :, 1:], axis=-1)
-    y20 = jnp.sum(sel * y2s[:, :, :-1], axis=-1)
-    y21 = jnp.sum(sel * y2s[:, :, 1:], axis=-1)
+    # loop the (unrolled) segment axis so peak memory stays at a few [N, M]
+    # buffers instead of an [N, M, 16] tensor; each node value arrives as a
+    # rank-1-per-type matmul pair on the MXU and a fused select on the VPU
+    zero = jnp.zeros_like(d)
+    y0 = y1 = y20 = y21 = zero
+    for s in range(na):
+        node_y = (rows @ ytab[:, :, s]) @ cols.T
+        node_y2 = (rows @ y2tab[:, :, s]) @ cols.T
+        if s < na - 1:
+            m = (seg == s).astype(dt)
+            y0 = y0 + m * node_y
+            y20 = y20 + m * node_y2
+        if s > 0:
+            m1 = (seg == s - 1).astype(dt)
+            y1 = y1 + m1 * node_y
+            y21 = y21 + m1 * node_y2
     return _spline_interp(d, seg, y0, y1, y20, y21, deriv)
 
 

@@ -68,3 +68,24 @@ def test_agbnp2_force_fd_global(small_system):
     de = ep - em
     pred = -2.0 * np.sum(force * d)
     assert de == pytest.approx(pred, rel=5e-2, abs=5e-3)
+
+
+def test_agbnp2_jax_matches_oracle(small_system):
+    """The JAX v2 energy equals the oracle; autodiff forces pass a tight FD
+    check (the reference's hand chain cannot)."""
+    import jax
+
+    from openmm_agbnp_plugin_tpu.models.agbnp2_jax import AGBNP2Model
+
+    params, pos = small_system
+    e_o, _ = agbnp2_energy_forces(params, pos)
+    m = AGBNP2Model(params, dtype=np.float64, positions=pos)
+    e, f = m.energy_forces(pos)
+    assert float(e) == pytest.approx(e_o, abs=1e-9)
+
+    rng = np.random.default_rng(5)
+    d = rng.uniform(-5e-5, 5e-5, size=pos.shape)
+    ep = float(m.energy_forces(pos + d)[0])
+    em = float(m.energy_forces(pos - d)[0])
+    pred = -2.0 * np.sum(np.asarray(f) * d)
+    assert (ep - em) == pytest.approx(pred, rel=1e-4)
