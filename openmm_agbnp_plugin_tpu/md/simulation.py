@@ -43,7 +43,7 @@ class Simulation:
     def __init__(self, dms, version: int = 1, cutoff: float | None = None,
                  dtype=np.float64, include_mm: bool = True,
                  caps=None, pairs=None, skin: float = 0.15,
-                 kmax: int | None = None, vsites=None):
+                 kmax: int | None = None, vsites=None, mixed: bool = False):
         self.dms = dms
         self.dtype = dtype
         self.vsites = vsites.arrays(dtype) if vsites is not None and             getattr(vsites, "count", 0) > 0 else None
@@ -52,7 +52,7 @@ class Simulation:
                              ishydrogen=dms.ishydrogen)
         self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
                                 dtype=dtype, caps=caps, pairs=pairs,
-                                positions=dms.positions)
+                                positions=dms.positions, mixed=mixed)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)
@@ -79,7 +79,8 @@ class Simulation:
                             version=self.agbnp.version,
                             roffset=self.agbnp.params.roffset,
                             ntypes_j=self.agbnp.ntypes_j,
-                            cutoff=self.agbnp.cutoff, topology=topology)
+                            cutoff=self.agbnp.cutoff, topology=topology,
+                            mixed=self.agbnp.mixed)
         return out["energy"], out["force"], out["diag"]["counts"]
 
     def force_fn(self, pairs=None, topology=None):

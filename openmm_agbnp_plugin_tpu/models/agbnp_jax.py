@@ -104,10 +104,27 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
 
 
 def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
-                  roffset: float, ntypes_j: int, cutoff=None, topology=None):
-    """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces."""
+                  roffset: float, ntypes_j: int, cutoff=None, topology=None,
+                  mixed: bool = False, neighbor_rcut: float = 0.0,
+                  neighbor_kmax: int = 0):
+    """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
+
+    With neighbor_kmax > 0, the 2-body candidate pairs are built on device
+    from a half neighbor list instead of the arrays' pair list — the
+    memory-safe mode for large systems (an all-pairs candidate buffer pads
+    to ~20x its logical size under TPU lane tiling).
+    """
+    if neighbor_kmax > 0:
+        from ..ops.neighbors import half_neighbor_pairs
+
+        pi, pj, pv, nbmax = half_neighbor_pairs(
+            pos, a["ishydrogen"] == 0, neighbor_rcut, neighbor_kmax)
+        a = {**a, "pairs_i": pi, "pairs_j": pj, "pairs_valid": pv}
     e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2 = \
         tree_passes(a, pos, caps, roffset, topology=topology)
+    if neighbor_kmax > 0:
+        diag = {**diag, "neighbor_max": nbmax,
+                "neighbor_kmax": jnp.asarray(neighbor_kmax)}
 
     details = dict(e_vol1=red1["energy"], e_vol2=red2["energy"], e_cav=e_cav)
     if version == 0:
@@ -116,18 +133,21 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # volume scaling factors (ReferenceAGBNPKernels.cpp:420-430)
     s_factor = self_volume / a["vol_vdw_all"]
 
+    accum = jnp.float64 if (mixed and pos.dtype != jnp.float64) else None
     geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
                         a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
-                        ntypes_j)
+                        ntypes_j, accum_dtype=accum)
     br = geom["born_radius"]
 
-    gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff)
+    gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff,
+                     accum_dtype=accum)
     e_vdw = B.vdw_energy(a["alpha"], br)
 
     evdw_der_brw, egb_der_bru = B.born_chain_factors(
         a["alpha"], a["charge"], br, geom["inv_br_fp"], gb["egb_der_Y"])
 
-    sweep = B.descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru)
+    sweep = B.descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru,
+                                accum_dtype=accum)
 
     # self-volume gradient components via a gamma rescan.  The reference runs
     # two separate passes for W (vdW) and U (GB)
@@ -157,14 +177,32 @@ class AGBNPModel:
 
     def __init__(self, params: AGBNPParams, caps: T.TreeCaps | None = None,
                  version: int = 1, cutoff: float | None = None,
-                 dtype=np.float64, pairs=None, positions=None):
+                 dtype=np.float64, pairs=None, positions=None,
+                 mixed: bool = False):
         self.params = params
         self.version = version
         self.cutoff = cutoff
+        self.mixed = mixed
         if caps is None:
             caps = self._sized_caps(params, positions)
         self.caps = caps
         self.dtype = dtype
+        # large systems: build candidate pairs on device per evaluation (an
+        # all-pairs list at N^2/2 rows is tile-padding hostile); small ones
+        # keep the exact triangular list
+        self.neighbor_rcut = 0.0
+        self.neighbor_kmax = 0
+        if pairs is None and positions is not None and params.n > 2000:
+            from ..md.simulation import _host_max_neighbors
+            from ..ops.neighbors import tree_pair_cutoff
+
+            self.neighbor_rcut = tree_pair_cutoff(params.radii_large) + 0.05
+            heavy = np.asarray(params.ishydrogen) == 0
+            seen = _host_max_neighbors(np.asarray(positions), heavy,
+                                       self.neighbor_rcut)
+            self.neighbor_kmax = int(np.ceil(seen * 1.5 / 16) * 16)
+            pairs = (np.zeros(1, np.int32), np.zeros(1, np.int32),
+                     np.zeros(1, bool))  # placeholder; rebuilt on device
         self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
         self._build_jit()
@@ -186,7 +224,9 @@ class AGBNPModel:
         self._jit_ef = jax.jit(partial(
             energy_forces, caps=self.caps, version=self.version,
             roffset=self.params.roffset, ntypes_j=self.ntypes_j,
-            cutoff=self.cutoff))
+            cutoff=self.cutoff, mixed=self.mixed,
+            neighbor_rcut=self.neighbor_rcut,
+            neighbor_kmax=self.neighbor_kmax))
 
     def energy_forces(self, pos, with_details: bool = False):
         out = self._jit_ef(self.arrays, jnp.asarray(pos, self.dtype))
@@ -198,9 +238,16 @@ class AGBNPModel:
         """PanicButton: grow capacities if the last evaluation overflowed.
         Returns True if a re-evaluation is needed."""
         ov = T.check_overflow(diag)
-        if not ov["any"]:
+        nb_over = ("neighbor_max" in diag
+                   and int(diag["neighbor_max"]) > self.neighbor_kmax > 0)
+        if not ov["any"] and not nb_over:
             return False
-        self.caps = self.caps.grow([bool(c) for c in ov["cap_overflow"]],
-                                   [bool(s) for s in ov["sib_overflow"][:-1]])
+        if ov["any"]:
+            self.caps = self.caps.grow(
+                [bool(c) for c in ov["cap_overflow"]],
+                [bool(s) for s in ov["sib_overflow"][:-1]])
+        if nb_over:
+            self.neighbor_kmax = int(np.ceil(
+                int(diag["neighbor_max"]) * 1.5 / 16) * 16)
         self._build_jit()
         return True

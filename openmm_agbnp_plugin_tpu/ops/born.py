@@ -80,11 +80,19 @@ def spline_lookup_pairs(d, ti_rows, tj_cols, yflat, y2flat,
     # loop the (unrolled) segment axis so peak memory stays at a few [N, M]
     # buffers instead of an [N, M, 16] tensor; each node value arrives as a
     # rank-1-per-type matmul pair on the MXU and a fused select on the VPU
+    # HIGHEST matmul precision: the default TPU f32 matmul runs reduced
+    # bf16 passes on the MXU, which would inject ~1e-3 relative error into
+    # the table values; one-hot selection must be (near-)exact
+    import jax
+
+    hp = jax.lax.Precision.HIGHEST
     zero = jnp.zeros_like(d)
     y0 = y1 = y20 = y21 = zero
     for s in range(na):
-        node_y = (rows @ ytab[:, :, s]) @ cols.T
-        node_y2 = (rows @ y2tab[:, :, s]) @ cols.T
+        node_y = jnp.matmul(jnp.matmul(rows, ytab[:, :, s], precision=hp),
+                            cols.T, precision=hp)
+        node_y2 = jnp.matmul(jnp.matmul(rows, y2tab[:, :, s], precision=hp),
+                             cols.T, precision=hp)
         if s < na - 1:
             m = (seg == s).astype(dt)
             y0 = y0 + m * node_y
@@ -121,8 +129,24 @@ def _pair_geometry(pos):
     return dist, d2, d, eye
 
 
+def _sum1(x, accum_dtype):
+    """Sum over the last pair axis, optionally accumulating in a wider type
+    (the "mixed" precision mode: f32 pair math, f64 accumulation, like
+    OpenMM's mixed platforms / the reference's fixed-point accumulators,
+    GVolSelfVolume.cl:161-177)."""
+    if accum_dtype is None:
+        return jnp.sum(x, axis=1)
+    return jnp.sum(x.astype(accum_dtype), axis=1).astype(x.dtype)
+
+
+def _sum_all(x, accum_dtype):
+    if accum_dtype is None:
+        return jnp.sum(x)
+    return jnp.sum(x.astype(accum_dtype)).astype(x.dtype)
+
+
 def born_radii(pos, radii_vdw, s_factor, ishydrogen, type_i, type_j,
-               yflat, y2flat, ntypes_j, ntypes_i=None):
+               yflat, y2flat, ntypes_j, ntypes_i=None, accum_dtype=None):
     """Inverse Born radii: 1/B_i = 1/R_i - (1/4pi) sum_j s_j Q4(d_ij).
 
     Heavy-atom screeners only; 2 nm table horizon
@@ -142,13 +166,14 @@ def born_radii(pos, radii_vdw, s_factor, ishydrogen, type_i, type_j,
     q = jnp.where(pair_mask, q, 0.0)
     dq = jnp.where(pair_mask, dq, 0.0)
 
-    beta = 1.0 / radii_vdw - PIFAC * jnp.sum(s_factor[None, :] * q, axis=1)
+    beta = 1.0 / radii_vdw - PIFAC * _sum1(s_factor[None, :] * q, accum_dtype)
     filt, fp = agbnp_swf_invbr(beta)
     return dict(born_radius=1.0 / filt, inv_br=beta, inv_br_fp=fp,
                 Q=q, dQ=dq, pair_mask=pair_mask, dist=dist, d=d, d2=d2, eye=eye)
 
 
-def gb_energy(pos, charge, born_radius, geom, cutoff=None):
+def gb_energy(pos, charge, born_radius, geom, cutoff=None,
+              accum_dtype=None):
     """GB self + pair energy, direct forces, Y accumulators.
 
     E_pair = sum_{i<j} 2 f_eps q_i q_j / sqrt(d^2 + B_i B_j exp(-d^2/4BiBj))
@@ -166,18 +191,19 @@ def gb_energy(pos, charge, born_radius, geom, cutoff=None):
     qq_f = charge[:, None] * charge[None, :]
     qq = DIELECTRIC_FACTOR * qq_f
 
-    gb_self = jnp.sum(DIELECTRIC_FACTOR * charge * charge / born_radius)
-    gb_pair = jnp.sum(fmask * qq * fgb)  # = sum_{i<j} 2 qq fgb
+    gb_self = _sum_all(DIELECTRIC_FACTOR * charge * charge / born_radius,
+                       accum_dtype)
+    gb_pair = _sum_all(fmask * qq * fgb, accum_dtype)  # = sum_{i<j} 2 qq fgb
 
     fgb3 = fgb ** 3
     mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
     # ordered-pair contribution to force[i]: +dist_ij * mw (and -ditto to j);
     # summing both orderings doubles it, hence the 0.5 on the symmetric sum
     # is already folded in because mw(i,j) == mw(j,i).
-    force = jnp.sum(fmask[:, :, None] * dist * mw[:, :, None], axis=1)
+    force = _sum1(fmask[:, :, None] * dist * mw[:, :, None], accum_dtype)
 
     ytij = qq_f * (bb + 0.25 * d2) * etij * fgb3
-    egb_der_Y = jnp.sum(fmask * ytij, axis=1)
+    egb_der_Y = _sum1(fmask * ytij, accum_dtype)
     return dict(gb_self=gb_self, gb_pair=gb_pair, force=force,
                 egb_der_Y=egb_der_Y)
 
@@ -199,7 +225,8 @@ def born_chain_factors(alpha, charge, born_radius, inv_br_fp, egb_der_Y):
     return evdw_der_brw, egb_der_bru
 
 
-def descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru):
+def descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru,
+                      accum_dtype=None):
     """W/U accumulators + direct descreening forces
     (reference ReferenceAGBNPKernels.cpp:555-586).
 
@@ -210,12 +237,12 @@ def descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru):
     q, dq, dist, d = geom["Q"], geom["dQ"], geom["dist"], geom["d"]
     mask = geom["pair_mask"].astype(q.dtype)
 
-    evdw_der_W = jnp.sum(evdw_der_brw[:, None] * q, axis=0)
-    egb_der_U = jnp.sum(egb_der_bru[:, None] * q, axis=0)
+    evdw_der_W = _sum1((evdw_der_brw[:, None] * q).T, accum_dtype)
+    egb_der_U = _sum1((egb_der_bru[:, None] * q).T, accum_dtype)
 
     c = (evdw_der_brw + egb_der_bru)[:, None] * s_factor[None, :] * dq / d
     c = c * mask
     # force[k] = sum_j (c_kj + c_jk) * (pos_j - pos_k)
     csym = c + c.T
-    force = jnp.sum(csym[:, :, None] * dist, axis=1)
+    force = _sum1(csym[:, :, None] * dist, accum_dtype)
     return dict(evdw_der_W=evdw_der_W, egb_der_U=egb_der_U, force=force)
