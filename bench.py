@@ -49,9 +49,9 @@ def main():
     platform = jax.devices()[0].platform
     dtype = np.float32 if platform != "cpu" else np.float64
 
-    sim = Simulation(dms, version=1, cutoff=None, dtype=dtype)
+    sim = Simulation(dms, version=1, cutoff=None, dtype=dtype, skin=0.25)
     res = sim.benchmark_langevin(nsteps=NSTEPS, dt=0.001, temperature=300.0,
-                                 friction=1.0)
+                                 friction=1.0, neighbor_every=20)
 
     print(json.dumps({
         "metric": f"ns_day_{SYSTEM.split('_')[0]}_agbnp1",

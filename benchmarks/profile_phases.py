@@ -1,0 +1,135 @@
+"""Per-phase timing of the AGBNP1 MD step on the current device.
+
+Times each pipeline stage (tree rescan+reduce, Born/GB/descreening pair
+phases, gamma-rescan force pass, MM forces, integrator overhead) in
+isolation under jit, plus the fused full step, to locate the hot spots
+before kernel work.  Usage: python benchmarks/profile_phases.py [system].
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from openmm_agbnp_plugin_tpu.io.dms import load_dms
+from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+from openmm_agbnp_plugin_tpu.models.agbnp_jax import energy_forces, tree_passes
+from openmm_agbnp_plugin_tpu.ops import born as B
+from openmm_agbnp_plugin_tpu.ops import tree as T
+from openmm_agbnp_plugin_tpu.ops.neighbors import half_neighbor_pairs
+
+
+def timeit(fn, *args, n=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def main():
+    system = sys.argv[1] if len(sys.argv) > 1 else "1li2_agbnp1"
+    here = os.path.dirname(os.path.abspath(__file__))
+    dms = load_dms(os.path.join(here, "data", f"{system}.dms"))
+    dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
+    sim = Simulation(dms, version=1, cutoff=None, dtype=dtype, skin=0.25)
+    a = sim.agbnp.arrays
+    caps = sim.agbnp.caps
+    pos = jnp.asarray(dms.positions, dtype)
+    roffset = sim.agbnp.params.roffset
+    ntypes_j = sim.agbnp.ntypes_j
+    print(f"system={system} n={dms.n} platform={jax.devices()[0].platform}")
+
+    # neighbor pairs + topology (rebuild-boundary work)
+    heavy = sim.heavy_mask
+    nb = jax.jit(lambda p: half_neighbor_pairs(p, heavy, sim.rcut_list,
+                                               sim.kmax))
+    pi, pj, pv, _ = nb(pos)
+    print(f"neighbors: {timeit(nb, pos):.3f} ms  (kmax={sim.kmax})")
+
+    a2 = {**a, "pairs_i": pi, "pairs_j": pj, "pairs_valid": pv}
+
+    gdr = a["gamma"] / roffset
+
+    def build(p):
+        lvl1 = T.make_level1(p, a["radii_large"], a["vol_large"], gdr,
+                             a["ishydrogen"])
+        levels, diag = T.build_tree(lvl1, pi, pj, caps, pairs_valid=pv)
+        return levels
+    levels = jax.jit(build)(pos)
+    topo = T.tree_topology(levels)
+    print(f"tree build: {timeit(jax.jit(build), pos):.3f} ms")
+
+    # fixed-topology cavity pass (per-step fast path)
+    def cavity(p):
+        return tree_passes(a2, p, caps, roffset, topology=topo)[:3]
+    print(f"cavity rescan+reduce2: {timeit(jax.jit(cavity), pos):.3f} ms")
+
+    # per-step gamma rescan pass
+    _, _, self_volume, levels_vdw, lvl1_vdw, *_ = jax.jit(
+        lambda p: tree_passes(a2, p, caps, roffset, topology=topo))(pos)
+
+    def gamma_pass(p, gamma_WU):
+        lvl1 = {**lvl1_vdw, "gamma1i": gamma_WU}
+        red = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1), lvl1,
+                            with_selfvol=False)
+        return red["dr"]
+    gwu = jnp.ones(dms.n, dtype)
+    print(f"gamma rescan+reduce: {timeit(jax.jit(gamma_pass), pos, gwu):.3f} ms")
+
+    # pair phases
+    s_factor = self_volume / a["vol_vdw_all"]
+
+    def born_only(p, s):
+        geom = B.born_radii(p, a["radii_vdw"], s, a["ishydrogen"],
+                            a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
+                            ntypes_j)
+        return geom["born_radius"]
+    print(f"born_radii (spline pairs): {timeit(jax.jit(born_only), pos, s_factor):.3f} ms")
+
+    def pair_all(p, s):
+        geom = B.born_radii(p, a["radii_vdw"], s, a["ishydrogen"],
+                            a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
+                            ntypes_j)
+        br = geom["born_radius"]
+        gb = B.gb_energy(p, a["charge"], br, geom)
+        e_vdw = B.vdw_energy(a["alpha"], br)
+        brw, bru = B.born_chain_factors(a["alpha"], a["charge"], br,
+                                        geom["inv_br_fp"], gb["egb_der_Y"])
+        sweep = B.descreening_sweep(geom, s, brw, bru)
+        return (gb["gb_self"] + gb["gb_pair"] + e_vdw,
+                gb["force"] + sweep["force"],
+                sweep["evdw_der_W"] + sweep["egb_der_U"])
+    print(f"pair phases total: {timeit(jax.jit(pair_all), pos, s_factor):.3f} ms")
+
+    # full AGBNP force (fixed topology) and full MD step pieces
+    def agbnp_full(p):
+        out = energy_forces(a2, p, caps=caps, version=1, roffset=roffset,
+                            ntypes_j=ntypes_j, topology=topo)
+        return out["energy"], out["force"]
+    print(f"AGBNP1 energy+forces (fixed topo): {timeit(jax.jit(agbnp_full), pos):.3f} ms")
+
+    if sim.mm is not None:
+        def mm(p):
+            e, g = jax.value_and_grad(sim.mm.energy)(p)
+            return e, g
+        print(f"MM forces: {timeit(jax.jit(mm), pos):.3f} ms")
+
+    # full fused step, amortized (the real number)
+    res = sim.benchmark_langevin(nsteps=200, dt=0.001, neighbor_every=20)
+    print(f"full MD step: {1e3 / res['steps_per_s']:.3f} ms  "
+          f"({res['ns_day']:.2f} ns/day)")
+
+
+if __name__ == "__main__":
+    main()

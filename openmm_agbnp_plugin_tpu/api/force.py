@@ -119,21 +119,46 @@ class Context:
     getState(energy, forces)-style queries.
     """
 
-    def __init__(self, force: AGBNPForce, dtype=np.float32, caps=None):
+    def __init__(self, force: AGBNPForce, dtype=np.float32, caps=None,
+                 box=None):
         self._dtype = dtype
         self._caps = caps
+        self._box = None
+        if box is not None:
+            self.setPeriodicBoxVectors(*box)
         self.reinitialize_force(force)
         self._positions = None
+
+    def setPeriodicBoxVectors(self, a, b, c):
+        """Orthorhombic periodic box (used with CutoffPeriodic).  Accepts
+        the three box vectors; off-diagonal (triclinic) components must be
+        zero.  The pair phases then use minimum-image deltas, the documented
+        CutoffPeriodic semantics (reference AGBNPForce.h:55)."""
+        vecs = np.array([a, b, c], dtype=np.float64)
+        diag = np.diag(np.diag(vecs))
+        if not np.allclose(vecs, diag):
+            raise ValueError("only orthorhombic periodic boxes are supported")
+        if np.any(np.diag(vecs) <= 0):
+            raise ValueError("box lengths must be positive")
+        self._box = np.diag(vecs)
+        if getattr(self, "_force", None) is not None:
+            self.reinitialize_force(self._force)
+
+    def getPeriodicBoxVectors(self):
+        if self._box is None:
+            return None
+        return tuple(np.diag(self._box))
 
     def reinitialize_force(self, force: AGBNPForce):
         from ..models.agbnp_jax import AGBNPModel
 
         cutoff = (None if force.getNonbondedMethod() == NonbondedMethod.NoCutoff
                   else force.getCutoffDistance())
-        if force.getNonbondedMethod() == NonbondedMethod.CutoffPeriodic:
-            raise NotImplementedError(
-                "CutoffPeriodic is not supported yet; use NoCutoff or "
-                "CutoffNonPeriodic.")
+        periodic = force.getNonbondedMethod() == NonbondedMethod.CutoffPeriodic
+        if periodic and self._box is None:
+            raise ValueError(
+                "CutoffPeriodic requires setPeriodicBoxVectors (or the box= "
+                "Context argument)")
         self._force = force
         if force.getVersion() == 2:
             # AGBNP2: JAX energy with exact autodiff forces (the reference's
@@ -144,7 +169,8 @@ class Context:
             self._model = AGBNPModel(force.to_params(),
                                      version=force.getVersion(),
                                      cutoff=cutoff, dtype=self._dtype,
-                                     caps=self._caps)
+                                     caps=self._caps,
+                                     box=self._box if periodic else None)
 
     def setPositions(self, positions):
         self._positions = np.asarray(positions, dtype=np.float64)

@@ -106,13 +106,18 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
 def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   roffset: float, ntypes_j: int, cutoff=None, topology=None,
                   mixed: bool = False, neighbor_rcut: float = 0.0,
-                  neighbor_kmax: int = 0):
+                  neighbor_kmax: int = 0, box=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
     from a half neighbor list instead of the arrays' pair list — the
     memory-safe mode for large systems (an all-pairs candidate buffer pads
     to ~20x its logical size under TPU lane tiling).
+
+    With box (orthorhombic [3] lengths), the Born/GB/descreening pair phases
+    use minimum-image deltas (CutoffPeriodic, AGBNPForce.h:55); the overlap
+    tree keeps raw deltas like every reference backend (its overlaps span
+    <~0.7 nm and assume a whole solute).
     """
     if neighbor_kmax > 0:
         from ..ops.neighbors import half_neighbor_pairs
@@ -136,7 +141,7 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     accum = jnp.float64 if (mixed and pos.dtype != jnp.float64) else None
     geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
                         a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
-                        ntypes_j, accum_dtype=accum)
+                        ntypes_j, accum_dtype=accum, box=box)
     br = geom["born_radius"]
 
     gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff,
@@ -178,11 +183,12 @@ class AGBNPModel:
     def __init__(self, params: AGBNPParams, caps: T.TreeCaps | None = None,
                  version: int = 1, cutoff: float | None = None,
                  dtype=np.float64, pairs=None, positions=None,
-                 mixed: bool = False):
+                 mixed: bool = False, box=None):
         self.params = params
         self.version = version
         self.cutoff = cutoff
         self.mixed = mixed
+        self.box = None if box is None else jnp.asarray(box, dtype)
         if caps is None:
             caps = self._sized_caps(params, positions)
         self.caps = caps
@@ -226,7 +232,7 @@ class AGBNPModel:
             roffset=self.params.roffset, ntypes_j=self.ntypes_j,
             cutoff=self.cutoff, mixed=self.mixed,
             neighbor_rcut=self.neighbor_rcut,
-            neighbor_kmax=self.neighbor_kmax))
+            neighbor_kmax=self.neighbor_kmax, box=self.box))
 
     def energy_forces(self, pos, with_details: bool = False):
         out = self._jit_ef(self.arrays, jnp.asarray(pos, self.dtype))

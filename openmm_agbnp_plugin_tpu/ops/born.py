@@ -118,9 +118,19 @@ def agbnp_swf_invbr(beta):
     return jnp.where(pos, t, a), fp
 
 
-def _pair_geometry(pos):
-    """dist[i,j] = pos[j] - pos[i]; d and 1/d with safe diagonal."""
+def _pair_geometry(pos, box=None):
+    """dist[i,j] = pos[j] - pos[i]; d and 1/d with safe diagonal.
+
+    With box (orthorhombic [3] lengths), deltas are minimum-image wrapped —
+    the CutoffPeriodic semantics documented by the reference API
+    (AGBNPForce.h:55: "each particle interacts only with the nearest
+    periodic copy").  The wrap is locally constant in positions, so the
+    analytic force formulas downstream are unchanged.
+    """
     dist = pos[None, :, :] - pos[:, None, :]
+    if box is not None:
+        b = box[None, None, :]
+        dist = dist - b * jnp.round(dist / b)
     d2 = jnp.sum(dist * dist, axis=-1)
     n = pos.shape[0]
     eye = jnp.eye(n, dtype=bool)
@@ -146,7 +156,8 @@ def _sum_all(x, accum_dtype):
 
 
 def born_radii(pos, radii_vdw, s_factor, ishydrogen, type_i, type_j,
-               yflat, y2flat, ntypes_j, ntypes_i=None, accum_dtype=None):
+               yflat, y2flat, ntypes_j, ntypes_i=None, accum_dtype=None,
+               box=None):
     """Inverse Born radii: 1/B_i = 1/R_i - (1/4pi) sum_j s_j Q4(d_ij).
 
     Heavy-atom screeners only; 2 nm table horizon
@@ -154,7 +165,7 @@ def born_radii(pos, radii_vdw, s_factor, ishydrogen, type_i, type_j,
     Returns dict(born_radius, inv_br, inv_br_fp, Q, dQ, pair_mask, dist, d).
     Q/dQ are kept for the descreening derivative sweep.
     """
-    dist, d2, d, eye = _pair_geometry(pos)
+    dist, d2, d, eye = _pair_geometry(pos, box)
     screener = (ishydrogen[None, :] == 0)
     pair_mask = (~eye) & screener & (d < AGBNP_I4LOOKUP_MAXA)
 

@@ -84,3 +84,79 @@ def test_context_v2_oracle_backed(gaussvol_system):
     e, f = ctx.getEnergyForces()
     assert np.isfinite(e)
     assert np.isfinite(np.asarray(f)).all()
+
+
+def test_cutoff_periodic_large_box_matches_nonperiodic(gaussvol_system):
+    """With a box much larger than the system, CutoffPeriodic == CutoffNonPeriodic."""
+    params, pos = gaussvol_system
+    force = _build_force(params, pos, version=1)
+    force.setNonbondedMethod(NonbondedMethod.CutoffNonPeriodic)
+    force.setCutoffDistance(1.2)
+    ctx = Context(force, dtype=np.float64)
+    ctx.setPositions(pos)
+    e_np, f_np = ctx.getEnergyForces()
+
+    force.setNonbondedMethod(NonbondedMethod.CutoffPeriodic)
+    ctx2 = Context(force, dtype=np.float64,
+                   box=((50.0, 0, 0), (0, 50.0, 0), (0, 0, 50.0)))
+    ctx2.setPositions(pos)
+    e_p, f_p = ctx2.getEnergyForces()
+    assert float(e_p) == pytest.approx(float(e_np), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_np), rtol=1e-12)
+
+
+def test_cutoff_periodic_requires_box(gaussvol_system):
+    params, pos = gaussvol_system
+    force = _build_force(params, pos, version=1)
+    force.setNonbondedMethod(NonbondedMethod.CutoffPeriodic)
+    with pytest.raises(ValueError, match="box"):
+        Context(force, dtype=np.float64)
+    with pytest.raises(ValueError, match="orthorhombic"):
+        Context(force, dtype=np.float64,
+                box=((5.0, 0.1, 0), (0, 5.0, 0), (0, 0, 5.0)))
+
+
+def test_cutoff_periodic_min_image_invariance():
+    """Translating an isolated atom by a lattice vector leaves the periodic
+    energy unchanged (the nearest-image semantics of AGBNPForce.h:55), while
+    the non-periodic energy changes."""
+    rng = np.random.default_rng(3)
+    cluster = 0.30 * rng.standard_normal((6, 3))
+    lone = np.array([[2.0, 0.0, 0.0]])
+    pos = np.vstack([cluster, lone])
+    n = pos.shape[0]
+
+    def make_ctx(box=None):
+        f = AGBNPForce()
+        f.setVersion(1)
+        for i in range(n):
+            f.addParticle(0.165, 48.9528, -60.0, (-1.0) ** i * 0.2, False)
+        if box is None:
+            f.setNonbondedMethod(NonbondedMethod.CutoffNonPeriodic)
+            f.setCutoffDistance(1.2)
+            return Context(f, dtype=np.float64)
+        f.setNonbondedMethod(NonbondedMethod.CutoffPeriodic)
+        f.setCutoffDistance(1.2)
+        return Context(f, dtype=np.float64, box=box)
+
+    box = ((3.0, 0, 0), (0, 3.0, 0), (0, 0, 3.0))
+    pos_shift = pos.copy()
+    pos_shift[-1, 0] += 3.0  # one lattice vector; raw distance now 5 nm
+
+    ctx = make_ctx(box)
+    ctx.setPositions(pos)
+    e0, f0 = ctx.getEnergyForces()
+    ctx.setPositions(pos_shift)
+    e1, f1 = ctx.getEnergyForces()
+    assert float(e1) == pytest.approx(float(e0), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-10)
+
+    # sanity: without the box the shift decouples the lone atom
+    ctx_np = make_ctx(None)
+    ctx_np.setPositions(pos)
+    e_np0, _ = ctx_np.getEnergyForces()
+    ctx_np.setPositions(pos_shift)
+    e_np1, _ = ctx_np.getEnergyForces()
+    assert abs(float(e_np1) - float(e_np0)) > 1e-6
+    # and the periodic energy actually sees the wrapped 1 nm image
+    assert abs(float(e0) - float(e_np0)) > 1e-6
