@@ -43,7 +43,8 @@ class Simulation:
     def __init__(self, dms, version: int = 1, cutoff: float | None = None,
                  dtype=np.float64, include_mm: bool = True,
                  caps=None, pairs=None, skin: float = 0.15,
-                 kmax: int | None = None, vsites=None, mixed: bool = False):
+                 kmax: int | None = None, vsites=None, mixed: bool = False,
+                 pair_kernel: bool | None = None):
         self.dms = dms
         self.dtype = dtype
         self.vsites = vsites.arrays(dtype) if vsites is not None and             getattr(vsites, "count", 0) > 0 else None
@@ -52,7 +53,8 @@ class Simulation:
                              ishydrogen=dms.ishydrogen)
         self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
                                 dtype=dtype, caps=caps, pairs=pairs,
-                                positions=dms.positions, mixed=mixed)
+                                positions=dms.positions, mixed=mixed,
+                                pair_kernel=pair_kernel)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)
@@ -80,7 +82,9 @@ class Simulation:
                             roffset=self.agbnp.params.roffset,
                             ntypes_j=self.agbnp.ntypes_j,
                             cutoff=self.agbnp.cutoff, topology=topology,
-                            mixed=self.agbnp.mixed)
+                            mixed=self.agbnp.mixed,
+                            pair_pad=self.agbnp.pair_pad,
+                            pair_interpret=self.agbnp.pair_interpret)
         return out["energy"], out["force"], out["diag"]["counts"]
 
     def force_fn(self, pairs=None, topology=None):

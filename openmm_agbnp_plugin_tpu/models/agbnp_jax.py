@@ -32,17 +32,33 @@ from .oracle import AGBNPParams
 
 
 def prepare_arrays(params: AGBNPParams, dtype=np.float64,
-                   pairs: tuple | None = None) -> dict:
+                   pairs: tuple | None = None, pair_pad: int = 0) -> dict:
     """Build the pytree of parameter/table arrays consumed by the pipeline.
 
     pairs: optional (i, j) candidate 2-body pairs; defaults to all i<j.
+    pair_pad: if > 0, also prepare the padded row-contracted spline tables
+    consumed by the fused Pallas pair kernels (ops/pallas/pairs.py).
     """
     p = params
     n = p.n
     tables = I4LookupTables(p.radii_vdw, p.ishydrogen)
     if pairs is None:
         pairs = np.triu_indices(n, 1)
+    extra = {}
+    if pair_pad > 0:
+        from ..ops.pallas.pairs import prepare_pair_tables
+
+        rowY, cols_oh = prepare_pair_tables(tables.type_screened,
+                                            tables.type_screener,
+                                            tables.yval, tables.y2val)
+        extra["rowY_pad"] = jnp.asarray(
+            np.pad(rowY, ((0, pair_pad - n), (0, 0))), dtype)
+        extra["cols_oh_pad"] = jnp.asarray(
+            np.pad(cols_oh, ((0, pair_pad - n), (0, 0))), dtype)
+        extra["charge_pad"] = jnp.asarray(
+            np.pad(np.asarray(p.charge), (0, pair_pad - n)), dtype)
     return dict(
+        **extra,
         radii_large=jnp.asarray(p.radii_large, dtype),
         radii_vdw=jnp.asarray(p.radii_vdw, dtype),
         gamma=jnp.asarray(p.gamma, dtype),
@@ -103,10 +119,58 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
     return e_cav, f_cav, red2["self_volume"], levels_vdw, lvl1_vdw, diag, red1, red2
 
 
+def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
+                        pair_interpret: bool):
+    """Born/GB/descreening pair phases via the fused Pallas tile kernels
+    (ops/pallas/pairs.py), replacing ops/born.py's dense [N, N] HBM
+    formulation.  Returns the same quantities the XLA path produces."""
+    from ..ops.pallas import pairs as PK
+
+    n = pos.shape[0]
+    tile = PK.pick_tile(n)
+    boxv = None if box is None else tuple(float(x) for x in np.asarray(box))
+    pos_pad = jnp.pad(pos, ((0, pair_pad - n), (0, 0))).T  # [3, NP]
+
+    def padv(x):
+        return jnp.pad(x, (0, pair_pad - n))
+
+    def run(s_factor, radii_vdw, charge, alpha):
+        s_pad = padv(s_factor)
+        raw = PK.born_sums(pos_pad, a["rowY_pad"], a["cols_oh_pad"], s_pad,
+                           n, tile, box=boxv, interpret=pair_interpret)
+        from ..models.constants import PIFAC
+        beta = 1.0 / radii_vdw - PIFAC * raw[:n]
+        filt, fp = B.agbnp_swf_invbr(beta)
+        br = 1.0 / filt
+
+        erow, yrow, gbf = PK.gb_pair(pos_pad, a["charge_pad"], padv(br),
+                                     n, tile, box=boxv, cutoff=cutoff,
+                                     interpret=pair_interpret)
+        from ..models.constants import DIELECTRIC_FACTOR
+        gb_self = jnp.sum(DIELECTRIC_FACTOR * charge * charge / br)
+        gb_pair_e = jnp.sum(erow[:n])
+        egb_der_Y = yrow[:n]
+        e_vdw = B.vdw_energy(alpha, br)
+
+        evdw_der_brw, egb_der_bru = B.born_chain_factors(
+            alpha, charge, br, fp, egb_der_Y)
+        w, u, swf = PK.descreening(pos_pad, a["rowY_pad"], a["cols_oh_pad"],
+                                   s_pad, padv(evdw_der_brw),
+                                   padv(egb_der_bru), n, tile, box=boxv,
+                                   interpret=pair_interpret)
+        return dict(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
+                    born_radius=br,
+                    pair_force=gbf[:n] + swf[:n],
+                    evdw_der_W=w[:n], egb_der_U=u[:n])
+
+    return run
+
+
 def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   roffset: float, ntypes_j: int, cutoff=None, topology=None,
                   mixed: bool = False, neighbor_rcut: float = 0.0,
-                  neighbor_kmax: int = 0, box=None):
+                  neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
+                  pair_interpret: bool = False):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -138,36 +202,48 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # volume scaling factors (ReferenceAGBNPKernels.cpp:420-430)
     s_factor = self_volume / a["vol_vdw_all"]
 
-    accum = jnp.float64 if (mixed and pos.dtype != jnp.float64) else None
-    geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
-                        a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
-                        ntypes_j, accum_dtype=accum, box=box)
-    br = geom["born_radius"]
+    if pair_pad > 0:
+        pp = _pair_phases_pallas(a, pos, cutoff, box, pair_pad,
+                                 pair_interpret)(
+            s_factor, a["radii_vdw"], a["charge"], a["alpha"])
+        gb_self, gb_pair_e, e_vdw = pp["gb_self"], pp["gb_pair"], pp["e_vdw"]
+        br = pp["born_radius"]
+        pair_force = pp["pair_force"]
+        evdw_der_W, egb_der_U = pp["evdw_der_W"], pp["egb_der_U"]
+    else:
+        accum = jnp.float64 if (mixed and pos.dtype != jnp.float64) else None
+        geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
+                            a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
+                            ntypes_j, accum_dtype=accum, box=box)
+        br = geom["born_radius"]
 
-    gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff,
-                     accum_dtype=accum)
-    e_vdw = B.vdw_energy(a["alpha"], br)
+        gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff,
+                         accum_dtype=accum)
+        e_vdw = B.vdw_energy(a["alpha"], br)
 
-    evdw_der_brw, egb_der_bru = B.born_chain_factors(
-        a["alpha"], a["charge"], br, geom["inv_br_fp"], gb["egb_der_Y"])
+        evdw_der_brw, egb_der_bru = B.born_chain_factors(
+            a["alpha"], a["charge"], br, geom["inv_br_fp"], gb["egb_der_Y"])
 
-    sweep = B.descreening_sweep(geom, s_factor, evdw_der_brw, egb_der_bru,
-                                accum_dtype=accum)
+        sweep = B.descreening_sweep(geom, s_factor, evdw_der_brw,
+                                    egb_der_bru, accum_dtype=accum)
+        gb_self, gb_pair_e = gb["gb_self"], gb["gb_pair"]
+        pair_force = gb["force"] + sweep["force"]
+        evdw_der_W, egb_der_U = sweep["evdw_der_W"], sweep["egb_der_U"]
 
     # self-volume gradient components via a gamma rescan.  The reference runs
     # two separate passes for W (vdW) and U (GB)
     # (ReferenceAGBNPKernels.cpp:713-747); the reduction is linear in gamma
     # and both carry unit weights, so one pass over gamma_W + gamma_U gives
     # the identical force sum at half the tree work.
-    gamma_WU = (sweep["evdw_der_W"] + sweep["egb_der_U"]) / a["vol_vdw_all"]
+    gamma_WU = (evdw_der_W + egb_der_U) / a["vol_vdw_all"]
     lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
     red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
                            with_selfvol=False)
 
-    energy = e_cav + gb["gb_self"] + gb["gb_pair"] + e_vdw
-    force = f_cav + gb["force"] + sweep["force"] - red_WU["dr"]
+    energy = e_cav + gb_self + gb_pair_e + e_vdw
+    force = f_cav + pair_force - red_WU["dr"]
 
-    details.update(gb_self=gb["gb_self"], gb_pair=gb["gb_pair"], e_vdw=e_vdw,
+    details.update(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
                    born_radius=br, self_volume=self_volume, s_factor=s_factor)
     return dict(energy=energy, force=force, diag=diag, details=details)
 
@@ -183,7 +259,8 @@ class AGBNPModel:
     def __init__(self, params: AGBNPParams, caps: T.TreeCaps | None = None,
                  version: int = 1, cutoff: float | None = None,
                  dtype=np.float64, pairs=None, positions=None,
-                 mixed: bool = False, box=None):
+                 mixed: bool = False, box=None,
+                 pair_kernel: bool | None = None):
         self.params = params
         self.version = version
         self.cutoff = cutoff
@@ -193,6 +270,22 @@ class AGBNPModel:
             caps = self._sized_caps(params, positions)
         self.caps = caps
         self.dtype = dtype
+        # fused Pallas pair kernels: default ON for the TPU f32 deployment
+        # path (version 1, no f64 accumulation); the XLA path remains the
+        # oracle-parity/mixed-precision/grad-capable formulation
+        if pair_kernel is None:
+            import jax as _jax
+            pair_kernel = (version == 1 and not mixed
+                           and _jax.default_backend() == "tpu"
+                           and np.dtype(dtype) == np.float32)
+        self.pair_kernel = bool(pair_kernel)
+        self.pair_interpret = False
+        if self.pair_kernel:
+            import jax as _jax
+            self.pair_interpret = _jax.default_backend() != "tpu"
+        from ..ops.pallas.pairs import pad_to, pick_tile
+        self.pair_pad = (pad_to(params.n, pick_tile(params.n))
+                         if self.pair_kernel else 0)
         # large systems: build candidate pairs on device per evaluation (an
         # all-pairs list at N^2/2 rows is tile-padding hostile); small ones
         # keep the exact triangular list
@@ -209,7 +302,8 @@ class AGBNPModel:
             self.neighbor_kmax = int(np.ceil(seen * 1.5 / 16) * 16)
             pairs = (np.zeros(1, np.int32), np.zeros(1, np.int32),
                      np.zeros(1, bool))  # placeholder; rebuilt on device
-        self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs)
+        self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs,
+                                     pair_pad=self.pair_pad)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
         self._build_jit()
 
@@ -232,7 +326,8 @@ class AGBNPModel:
             roffset=self.params.roffset, ntypes_j=self.ntypes_j,
             cutoff=self.cutoff, mixed=self.mixed,
             neighbor_rcut=self.neighbor_rcut,
-            neighbor_kmax=self.neighbor_kmax, box=self.box))
+            neighbor_kmax=self.neighbor_kmax, box=self.box,
+            pair_pad=self.pair_pad, pair_interpret=self.pair_interpret))
 
     def energy_forces(self, pos, with_details: bool = False):
         out = self._jit_ef(self.arrays, jnp.asarray(pos, self.dtype))

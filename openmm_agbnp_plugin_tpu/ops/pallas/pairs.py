@@ -1,0 +1,387 @@
+"""Fused Pallas TPU kernels for the AGBNP1 O(N^2) pair phases.
+
+The reference implements these as OpenCL warp-tile sweeps over the neighbor
+list (inverseBornRadii / VdWGBDerBorn in AGBNPBornRadii.cl:181-1610,
+GBPairEnergy in AGBNPGBEnergy.cl:58-654).  The XLA formulation in ops/born.py
+materializes ~10 dense [N, N] intermediates (distances, spline values and
+derivatives, Born factors) in HBM between phases; these kernels instead tile
+the pair space [TI, TJ] through VMEM and keep every intermediate on-chip —
+the classic MXU/VPU N-body pattern.  Per step there are three sweeps with a
+true data dependency between them (Born radii -> GB energy -> descreening
+derivatives), so three pallas_calls:
+
+  born_sums:    raw_i = sum_j s_j Q4(d_ij)                       (row reduce)
+  gb_pair:      E_gb pairs, direct forces, Y accumulators        (row reduce)
+  descreening:  W_j/U_j col sums + direct descreening forces     (row + col)
+
+The I4 spline lookup (16-node natural spline per radius-type pair,
+reference AGBNPUtils.cpp:102-214) is evaluated in-kernel: the row-type
+contraction rowY[i, tj, s] = Y[type_i[i], tj, s] is precomputed once per
+system (tiny: [N, Tj*16]), and each tile contracts it against the column
+one-hot with per-segment [TI, Tj] @ [Tj, TJ] matmuls on the MXU, followed by
+a segment select on the VPU.  One-hot contractions run at HIGHEST precision
+so the selected node values are bit-exact (a bf16 MXU pass would truncate
+them).
+
+All outputs are row/column partials; the cheap per-atom tails (soft filter,
+GB self energy, vdW dispersion, BrW/BrU chain factors) stay in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ...models.constants import (
+    AGBNP_I4LOOKUP_MAXA,
+    AGBNP_I4LOOKUP_NA,
+    DIELECTRIC_FACTOR,
+)
+
+_NA = AGBNP_I4LOOKUP_NA
+_H = AGBNP_I4LOOKUP_MAXA / (_NA - 1)
+_HP = jax.lax.Precision.HIGHEST
+
+
+def pad_to(n: int, tile: int) -> int:
+    return max(tile, (n + tile - 1) // tile * tile)
+
+
+def pick_tile(n: int) -> int:
+    return 128 if n <= 1024 else 256
+
+
+def prepare_pair_tables(type_screened, type_screener, yval, y2val):
+    """Host-side prep: row-contracted spline tables + column one-hot.
+
+    rowY[i, tj, s]  = yval[type_i[i], tj, s]   (and y2 stacked behind)
+    cols_oh[j, tj]  = 1 if type_j[j] == tj else 0 (all-zero for hydrogens,
+                      whose screener type is -1 — they never screen,
+                      reference AGBNPUtils.cpp:168-171)
+    Returns (rowY [N, Tj*2*NA], cols_oh [N, Tj]) as numpy float arrays.
+    """
+    ti = np.asarray(type_screened)
+    tj = np.asarray(type_screener)
+    yval = np.asarray(yval)
+    y2val = np.asarray(y2val)
+    ntj = yval.shape[1]
+    rowY = np.concatenate([yval[ti], y2val[ti]], axis=2)  # [N, Tj, 2*NA]
+    # s-major layout [N, 2*NA, Tj] so the kernel's per-segment [TI, Tj]
+    # slice is a contiguous static slice (no in-kernel relayout)
+    rowY = np.transpose(rowY, (0, 2, 1))
+    cols_oh = (tj[:, None] == np.arange(ntj)[None, :]).astype(np.float64)
+    return rowY.reshape(len(ti), -1), cols_oh
+
+
+def _tile_spline(rowY_blk, cols_oh_blk, d, mask, ntj, deriv):
+    """Per-tile spline eval. rowY_blk [TI, 2*NA*Tj] (s-major); cols_oh_blk
+    [TJ, Tj]; d [TI, TJ].  Returns (Q, dQ or None), masked."""
+    dt = d.dtype
+    seg = jnp.clip((d * (1.0 / _H)).astype(jnp.int32), 0, _NA - 2)
+
+    zero = jnp.zeros_like(d)
+    y0 = y1 = y20 = y21 = zero
+    for s in range(_NA):
+        # node value for every pair in the tile: [TI, Tj] @ [Tj, TJ]
+        node_y = jax.lax.dot_general(
+            rowY_blk[:, s * ntj:(s + 1) * ntj], cols_oh_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=_HP, preferred_element_type=dt)
+        node_y2 = jax.lax.dot_general(
+            rowY_blk[:, (_NA + s) * ntj:(_NA + s + 1) * ntj], cols_oh_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=_HP, preferred_element_type=dt)
+        if s < _NA - 1:
+            m = (seg == s).astype(dt)
+            y0 = y0 + m * node_y
+            y20 = y20 + m * node_y2
+        if s > 0:
+            m1 = (seg == s - 1).astype(dt)
+            y1 = y1 + m1 * node_y
+            y21 = y21 + m1 * node_y2
+
+    xk = seg.astype(dt) * _H
+    a = (xk + _H - d) * (1.0 / _H)
+    b = 1.0 - a
+    fm = mask.astype(dt)
+    q = (a * y0 + b * y1
+         + ((a ** 3 - a) * y20 + (b ** 3 - b) * y21) * (_H * _H) / 6.0) * fm
+    if not deriv:
+        return q, None
+    dq = ((y1 - y0) * (1.0 / _H)
+          + ((3.0 * b * b - 1.0) * y21 - (3.0 * a * a - 1.0) * y20)
+          * (_H / 6.0)) * fm
+    return q, dq
+
+
+def _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box):
+    """Tile deltas dx,dy,dz [TI,TJ] = pos_j - pos_i (min-image if box)."""
+    dx = pxc[0][None, :] - pxr[0][:, None]
+    dy = pyc[0][None, :] - pyr[0][:, None]
+    dz = pzc[0][None, :] - pzr[0][:, None]
+    if box is not None:
+        bx, by, bz = box
+        dx = dx - bx * jnp.round(dx * (1.0 / bx))
+        dy = dy - by * jnp.round(dy * (1.0 / by))
+        dz = dz - bz * jnp.round(dz * (1.0 / bz))
+    d2 = dx * dx + dy * dy + dz * dz
+    return dx, dy, dz, d2
+
+
+def _tile_ids(ti_, tj_, i, j):
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ti_, tj_), 0) + i * ti_
+    gj = jax.lax.broadcasted_iota(jnp.int32, (ti_, tj_), 1) + j * tj_
+    return gi, gj
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: inverse-Born-radius descreening sums
+# ---------------------------------------------------------------------------
+
+def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, rowY, colsoh, sj, out,
+                 *, ntj, n, box):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ti_ = pxr.shape[1]
+    tj_ = pxc.shape[1]
+    dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+    d = jnp.sqrt(d2)
+    gi, gj = _tile_ids(ti_, tj_, i, j)
+    mask = (gi != gj) & (gi < n) & (gj < n) & (d < AGBNP_I4LOOKUP_MAXA)
+    q, _ = _tile_spline(rowY[...], colsoh[...], d, mask, ntj, deriv=False)
+    part = jnp.sum(q * sj[0][None, :], axis=1)  # [TI]
+
+    @pl.when(j == 0)
+    def _():
+        out[0, :] = part
+
+    @pl.when(j > 0)
+    def _():
+        out[0, :] = out[0, :] + part
+
+
+def born_sums(pos_pad, rowY, cols_oh, s_pad, n, tile, box=None,
+              interpret=False):
+    """raw_i = sum_j s_j Q4(d_ij) over the dense padded pair space.
+
+    pos_pad [3, NP]; rowY [NP, Tj*2*NA]; cols_oh [NP, Tj]; s_pad [NP].
+    Mirrors inverseBornRadii (reference AGBNPBornRadii.cl:181-490;
+    CPU loop ReferenceAGBNPKernels.cpp:437-454).
+    """
+    npad = pos_pad.shape[1]
+    ntj = cols_oh.shape[1]
+    grid = (npad // tile, npad // tile)
+    dt = pos_pad.dtype
+    row = lambda i, j: (0, i)
+    col = lambda i, j: (0, j)
+    out = pl.pallas_call(
+        functools.partial(_born_kernel, ntj=ntj, n=n,
+                          box=None if box is None else tuple(box)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row),
+            pl.BlockSpec((1, tile), row),
+            pl.BlockSpec((1, tile), col), pl.BlockSpec((1, tile), col),
+            pl.BlockSpec((1, tile), col),
+            pl.BlockSpec((tile, rowY.shape[1]), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, ntj), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile), col),
+        ],
+        out_specs=pl.BlockSpec((1, tile), row),
+        out_shape=jax.ShapeDtypeStruct((1, npad), dt),
+        interpret=interpret,
+    )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      rowY, cols_oh, s_pad[None, :])
+    return out[0]
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: GB pair energy, direct forces, Y accumulators
+# ---------------------------------------------------------------------------
+
+def _gb_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
+               erow, yrow, fx, fy, fz, *, n, box, cutoff):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ti_ = pxr.shape[1]
+    tj_ = pxc.shape[1]
+    dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+    gi, gj = _tile_ids(ti_, tj_, i, j)
+    mask = (gi != gj) & (gi < n) & (gj < n)
+    if cutoff is not None:
+        mask = mask & (d2 < cutoff * cutoff)
+    dt = dx.dtype
+    fm = mask.astype(dt)
+
+    # sanitize masked pairs (padded atoms have B=0): keep etij finite so
+    # NaNs cannot leak through multiplications with the zeroed fgb
+    bb = br[0][:, None] * bc[0][None, :]
+    bb_safe = jnp.where(mask, bb, 1.0)
+    etij = jnp.exp(-0.25 * jnp.where(mask, d2, 0.0) / bb_safe)
+    inv = jax.lax.rsqrt(jnp.where(mask, d2 + bb * etij, 1.0))
+    fgb = fm * inv
+    qq_f = qr[0][:, None] * qc[0][None, :]
+    qq = DIELECTRIC_FACTOR * qq_f
+
+    epart = jnp.sum(qq * fgb, axis=1)
+    fgb3 = fgb * fgb * fgb
+    mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
+    ypart = jnp.sum(qq_f * (bb + 0.25 * d2) * etij * fgb3, axis=1)
+
+    fxp = jnp.sum(dx * mw, axis=1)
+    fyp = jnp.sum(dy * mw, axis=1)
+    fzp = jnp.sum(dz * mw, axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        erow[0, :] = epart
+        yrow[0, :] = ypart
+        fx[0, :] = fxp
+        fy[0, :] = fyp
+        fz[0, :] = fzp
+
+    @pl.when(j > 0)
+    def _():
+        erow[0, :] = erow[0, :] + epart
+        yrow[0, :] = yrow[0, :] + ypart
+        fx[0, :] = fx[0, :] + fxp
+        fy[0, :] = fy[0, :] + fyp
+        fz[0, :] = fz[0, :] + fzp
+
+
+def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,
+            interpret=False):
+    """GB pair sweep (reference ReferenceAGBNPKernels.cpp:464-504,
+    GBPairEnergy kernel AGBNPGBEnergy.cl:58-383).
+
+    Returns (gb_pair_energy_rows [NP], Y_rows [NP], force [NP, 3]); the row
+    energy sums count each unordered pair twice, matching the reference's
+    2 f_eps qq fgb pair term when summed.
+    """
+    npad = pos_pad.shape[1]
+    grid = (npad // tile, npad // tile)
+    dt = pos_pad.dtype
+    row = lambda i, j: (0, i)
+    col = lambda i, j: (0, j)
+    shp = jax.ShapeDtypeStruct((1, npad), dt)
+    erow, yrow, fx, fy, fz = pl.pallas_call(
+        functools.partial(_gb_kernel, n=n,
+                          box=None if box is None else tuple(box),
+                          cutoff=cutoff),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile), row)] * 3
+        + [pl.BlockSpec((1, tile), col)] * 3
+        + [pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col)],
+        out_specs=[pl.BlockSpec((1, tile), row)] * 5,
+        out_shape=[shp] * 5,
+        interpret=interpret,
+    )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      charge_pad[None, :], charge_pad[None, :],
+      born_pad[None, :], born_pad[None, :])
+    force = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
+    return erow[0], yrow[0], force
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: descreening derivative sweep (W/U accumulators + direct forces)
+# ---------------------------------------------------------------------------
+
+def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, rowY, colsoh, sj,
+                     brwr, brur, fx, fy, fz, wcol, ucol, fcx, fcy, fcz,
+                     *, ntj, n, box):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ti_ = pxr.shape[1]
+    tj_ = pxc.shape[1]
+    dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+    d = jnp.sqrt(d2)
+    gi, gj = _tile_ids(ti_, tj_, i, j)
+    mask = (gi != gj) & (gi < n) & (gj < n) & (d < AGBNP_I4LOOKUP_MAXA)
+    q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj, deriv=True)
+
+    # column accumulators live as full-width [1, NP] blocks with a constant
+    # index map: the TPU grid is serial, so the whole row stays in VMEM for
+    # the entire sweep and slices can be accumulated in any visit order
+    # (a [n_tiles, NP] partials layout would violate Mosaic's (8, 128)
+    # block-shape rule on the n_tiles axis)
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        for ref in (wcol, ucol, fcx, fcy, fcz):
+            ref[...] = jnp.zeros_like(ref)
+
+    # W_j += BrW_i Q_ij, U_j += BrU_i Q_ij: column sums for this tile
+    sl = (0, pl.dslice(j * tj_, tj_))
+    wcol[sl] += jnp.sum(brwr[0][:, None] * q, axis=0)
+    ucol[sl] += jnp.sum(brur[0][:, None] * q, axis=0)
+
+    # direct descreening forces: c_ij = (BrW+BrU)_i s_j dQ/d
+    dt = dx.dtype
+    c = ((brwr[0] + brur[0])[:, None] * sj[0][None, :] * dq
+         * jnp.where(mask, 1.0 / jnp.where(mask, d, 1.0), 0.0).astype(dt))
+    fxp = jnp.sum(c * dx, axis=1)
+    fyp = jnp.sum(c * dy, axis=1)
+    fzp = jnp.sum(c * dz, axis=1)
+    # column side: force_j -= sum_i c_ij * dist_ij
+    fcx[sl] += -jnp.sum(c * dx, axis=0)
+    fcy[sl] += -jnp.sum(c * dy, axis=0)
+    fcz[sl] += -jnp.sum(c * dz, axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        fx[0, :] = fxp
+        fy[0, :] = fyp
+        fz[0, :] = fzp
+
+    @pl.when(j > 0)
+    def _():
+        fx[0, :] = fx[0, :] + fxp
+        fy[0, :] = fy[0, :] + fyp
+        fz[0, :] = fz[0, :] + fzp
+
+
+def descreening(pos_pad, rowY, cols_oh, s_pad, brw_pad, bru_pad, n, tile,
+                box=None, interpret=False):
+    """Descreening derivative sweep (reference
+    ReferenceAGBNPKernels.cpp:555-586, VdWGBDerBorn
+    AGBNPBornRadii.cl:872-1280).
+
+    Returns (W [NP], U [NP], force [NP, 3]).  Row reductions accumulate
+    in-block across the j-minor grid; column reductions accumulate into
+    full-width [1, NP] VMEM-resident blocks (constant index map).
+    """
+    npad = pos_pad.shape[1]
+    ntj = cols_oh.shape[1]
+    nt = npad // tile
+    grid = (nt, nt)
+    dt = pos_pad.dtype
+    row = lambda i, j: (0, i)
+    col = lambda i, j: (0, j)
+    full = lambda i, j: (0, 0)
+    rowshp = jax.ShapeDtypeStruct((1, npad), dt)
+    fx, fy, fz, w, u, fcx, fcy, fcz = pl.pallas_call(
+        functools.partial(_descreen_kernel, ntj=ntj, n=n,
+                          box=None if box is None else tuple(box)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile), row)] * 3
+        + [pl.BlockSpec((1, tile), col)] * 3
+        + [pl.BlockSpec((tile, rowY.shape[1]), lambda i, j: (i, 0)),
+           pl.BlockSpec((tile, ntj), lambda i, j: (j, 0)),
+           pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row)],
+        out_specs=[pl.BlockSpec((1, tile), row)] * 3
+        + [pl.BlockSpec((1, npad), full)] * 5,
+        out_shape=[rowshp] * 8,
+        interpret=interpret,
+    )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      rowY, cols_oh, s_pad[None, :], brw_pad[None, :], bru_pad[None, :])
+    force = (jnp.stack([fx[0], fy[0], fz[0]], axis=1)
+             + jnp.stack([fcx[0], fcy[0], fcz[0]], axis=1))
+    return w[0], u[0], force

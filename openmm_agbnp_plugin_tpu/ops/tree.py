@@ -103,14 +103,18 @@ def make_level1(pos, radius, volume, gamma, ishydrogen):
     return dict(gv=vol, ga=ga, gc=pos, gamma1i=gamma, _at=at)
 
 
-# Packed per-level float layout [cap, 12]:
+# Packed per-level float layout [cap, 13]:
 #   0 gv, 1 ga, 2:5 gc, 5 volume(switched), 6 sfp, 7 dvv1, 8:11 dv1,
-#   11 gamma1i
+#   11 gamma1i, 12 ai (atomic exponent of the last atom)
 # Keeping every per-node float in ONE matrix means each pipeline stage
 # (candidate math, compaction gather, sort gather, mask) is a single fused
 # XLA op instead of one per field — the per-kernel launch overhead on TPU
-# dominates at these sizes, so op count is the cost model.
-_D = 12
+# dominates at these sizes, so op count is the cost model.  Column 12
+# duplicates level1.ga[atom] so the bottom-up reduction never re-gathers it:
+# row gathers on TPU are row-serial (~7-15 ns/row), so carrying the value in
+# the already-gathered row is free while a fresh [cap] gather is the single
+# most expensive op in the reduction (measured on the MD-step trace).
+_D = 13
 
 
 def _level_views(dat, ints, valid):
@@ -118,12 +122,12 @@ def _level_views(dat, ints, valid):
                 valid=valid,
                 gv=dat[:, 0], ga=dat[:, 1], gc=dat[:, 2:5],
                 volume=dat[:, 5], sfp=dat[:, 6], dvv1=dat[:, 7],
-                dv1=dat[:, 8:11], gamma1i=dat[:, 11])
+                dv1=dat[:, 8:11], gamma1i=dat[:, 11], ai=dat[:, 12])
 
 
 def _cand_dat(s_gv, s_ga, s_gc, s_gamma, a):
     """Packed 2-Gaussian product: s-side scalars x atomic packed rows
-    (a[..., 6]: gv, ga, gc, gamma).  Returns (dat[..., 12], sgvol)."""
+    (a[..., 6]: gv, ga, gc, gamma).  Returns (dat[..., _D], sgvol)."""
     from ..models.constants import PI
     from .gaussians import pol_switchfunc
 
@@ -148,6 +152,7 @@ def _cand_dat(s_gv, s_ga, s_gc, s_gamma, a):
         gvol[..., None], a12[..., None], gc12, sgvol[..., None],
         sfp[..., None], dgvolv[..., None], dv1,
         (s_gamma + a[..., 5])[..., None],
+        jnp.broadcast_to(a_ga, gvol.shape)[..., None],   # ai passthrough
     ], axis=-1)
     return dat, sgvol
 
@@ -386,7 +391,7 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
         valid = lvl["valid"]
         vmask = valid.astype(dtype)
 
-        ai = level1["ga"][lvl["atom"]]
+        ai = lvl["ai"]  # carried in the packed row; avoids a [cap] gather
         a1i = lvl["ga"]
         safe_a1i = jnp.where(valid, a1i, 1.0)
         c2 = ai / safe_a1i
@@ -464,7 +469,7 @@ def rescan_volumes2(levels, level1_a, level1_b):
     The AGBNP cavity term evaluates the same topology twice (large radii,
     then vdW radii, ReferenceAGBNPKernels.cpp:293-384); fusing both into one
     sweep halves the gather/launch count: each level does ONE gather of the
-    packed [cap, 24] parent matrix and one of the [N, 12] atomic matrix.
+    packed [cap, 2*_D] parent matrix and one of the [N, 12] atomic matrix.
 
     Returns (levels_a, levels_b).
     """
@@ -483,8 +488,8 @@ def rescan_volumes2(levels, level1_a, level1_b):
                              sp[:, gbg], a2[:, 6:12])
         out_a.append(_level_views(dat_a, lvl["_ints"], lvl["valid"]))
         out_b.append(_level_views(dat_b, lvl["_ints"], lvl["valid"]))
-        prev = jnp.concatenate([dat_a, dat_b], axis=1)  # [cap, 24]
-        prev_cols = ((0, 1, 2, 11), (12, 13, 14, 23))
+        prev = jnp.concatenate([dat_a, dat_b], axis=1)  # [cap, 2*_D]
+        prev_cols = ((0, 1, 2, 11), (_D, _D + 1, _D + 2, _D + 11))
     return tuple(out_a), tuple(out_b)
 
 
@@ -530,7 +535,7 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
         for base, lv, l1 in ((0, la, level1_a), (5, lb, level1_b)):
             e_f = tot[:, base + 1]
             e_p = tot[:, base + 2:base + 5]
-            ai = l1["ga"][lv["atom"]]
+            ai = lv["ai"]
             a1i = lv["ga"]
             safe = jnp.where(valid, a1i, 1.0)
             dep_cols.append((-lv["dv1"]) * e_f[:, None] + e_p * (ai / safe)[:, None])
