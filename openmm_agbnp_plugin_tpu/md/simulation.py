@@ -44,7 +44,8 @@ class Simulation:
                  dtype=np.float64, include_mm: bool = True,
                  caps=None, pairs=None, skin: float = 0.15,
                  kmax: int | None = None, vsites=None, mixed: bool = False,
-                 pair_kernel: bool | None = None):
+                 pair_kernel: bool | None = None,
+                 tree_kernel: bool | None = None):
         self.dms = dms
         self.dtype = dtype
         self.vsites = vsites.arrays(dtype) if vsites is not None and             getattr(vsites, "count", 0) > 0 else None
@@ -54,7 +55,8 @@ class Simulation:
         self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
                                 dtype=dtype, caps=caps, pairs=pairs,
                                 positions=dms.positions, mixed=mixed,
-                                pair_kernel=pair_kernel)
+                                pair_kernel=pair_kernel,
+                                tree_kernel=tree_kernel)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)
@@ -71,8 +73,28 @@ class Simulation:
             kmax = int(np.ceil(seen * 1.5 / 16) * 16)
         self.kmax = kmax
         self.heavy_mask = jnp.asarray(heavy)
+        if self.agbnp.tree_kernel:
+            self._init_tree_windows()
 
-    def _agbnp_force(self, pos, pairs=None, topology=None):
+    def _init_tree_windows(self):
+        """Build the topology once on the initial positions and size the
+        tree-sweep kernels' banded window plan from its measured spans (the
+        window analogue of the reference's CPU GaussVol sizing pre-pass)."""
+        from ..ops import tree as _T
+
+        m = self.agbnp
+        pos = jnp.asarray(self.dms.positions, self.dtype)
+        pi, pj, pv, _ = half_neighbor_pairs(pos, self.heavy_mask,
+                                            self.rcut_list, self.kmax)
+        gdr = m.arrays["gamma"] / m.params.roffset
+        lvl1 = _T.make_level1(pos, m.arrays["radii_large"],
+                              m.arrays["vol_large"], gdr,
+                              m.arrays["ishydrogen"])
+        levels, _ = jax.jit(partial(_T.build_tree, caps=m.caps))(
+            lvl1, pi, pj, pairs_valid=pv)
+        m.ensure_tree_windows(topology=_T.tree_topology(levels))
+
+    def _agbnp_force(self, pos, pairs=None, topology=None, sweep=None):
         a = self.agbnp.arrays
         if pairs is not None:
             a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
@@ -84,10 +106,14 @@ class Simulation:
                             cutoff=self.agbnp.cutoff, topology=topology,
                             mixed=self.agbnp.mixed,
                             pair_pad=self.agbnp.pair_pad,
-                            pair_interpret=self.agbnp.pair_interpret)
+                            pair_interpret=self.agbnp.pair_interpret,
+                            sweep=sweep,
+                            tree_windows=self.agbnp.tree_windows,
+                            tree_npad=self.agbnp.tree_npad,
+                            tree_interpret=self.agbnp.tree_interpret)
         return out["energy"], out["force"], out["diag"]["counts"]
 
-    def force_fn(self, pairs=None, topology=None):
+    def force_fn(self, pairs=None, topology=None, sweep=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634)."""
@@ -96,7 +122,8 @@ class Simulation:
         def fn(pos):
             if self.vsites is not None:
                 pos = project_positions(pos, self.vsites)
-            energy, force, counts = self._agbnp_force(pos, pairs, topology)
+            energy, force, counts = self._agbnp_force(pos, pairs, topology,
+                                                      sweep)
             if self.mm is not None:
                 e_mm, g_mm = jax.value_and_grad(self.mm.energy)(pos)
                 energy = energy + e_mm
@@ -136,7 +163,8 @@ class Simulation:
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     step, (pos, vel, key), length=nsteps)
                 return pos, vel, key, energies, (jnp.max(counts, axis=0),
-                                                 jnp.zeros((), jnp.int32))
+                                                 jnp.zeros((), jnp.int32),
+                                                 jnp.zeros(7, jnp.int32))
 
             return run
 
@@ -149,7 +177,9 @@ class Simulation:
                 pos, vel, key = carry
                 pi, pj, pv, nbmax = half_neighbor_pairs(pos, heavy, rcut, kmax)
                 topo = None
+                sweep = None
                 build_counts = None
+                spans = jnp.zeros(7, jnp.int32)
                 if rebuild_topology:
                     from ..ops import tree as _T
                     gdr = self.agbnp.arrays["gamma"] / self.agbnp.params.roffset
@@ -162,20 +192,29 @@ class Simulation:
                                                   relax=topology_relax)
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
+                    if (self.agbnp.tree_kernel
+                            and self.agbnp.tree_windows is not None):
+                        from ..ops.pallas import tree_sweep as _TS
+                        sweep = _TS.sweep_statics(topo, self.agbnp.at6,
+                                                  self.agbnp.tree_windows,
+                                                  self.agbnp.tree_npad)
+                        spans = sweep["spans"]
                 inner = langevin_middle_step(
-                    self.force_fn(pairs=(pi, pj, pv), topology=topo), masses,
+                    self.force_fn(pairs=(pi, pj, pv), topology=topo,
+                                  sweep=sweep), masses,
                     dt, temperature, friction)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     inner, (pos, vel, key), length=neighbor_every)
                 maxcounts = jnp.max(counts, axis=0)
                 if build_counts is not None:
                     maxcounts = jnp.maximum(maxcounts, build_counts)
-                return (pos, vel, key), (energies, maxcounts, nbmax)
+                return (pos, vel, key), (energies, maxcounts, nbmax, spans)
 
-            (pos, vel, key), (energies, counts, nbmax) = jax.lax.scan(
+            (pos, vel, key), (energies, counts, nbmax, spans) = jax.lax.scan(
                 outer, (pos, vel, key), length=nouter)
             return (pos, vel, key, energies.reshape(-1),
-                    (jnp.max(counts, axis=0), jnp.max(nbmax)))
+                    (jnp.max(counts, axis=0), jnp.max(nbmax),
+                     jnp.max(spans, axis=0)))
 
         return run
 
@@ -209,12 +248,17 @@ class Simulation:
             out = run(pos, vel, key, nsteps)
             np.asarray(out[0]).ravel()[0:1]  # force full sync through the tunnel
         t0 = time.perf_counter()
-        pos, vel, key, energies, (counts, nbmax) = run(pos, vel, key, nsteps)
+        pos, vel, key, energies, (counts, nbmax, spans) = run(pos, vel, key,
+                                                              nsteps)
         counts = np.asarray(counts)  # device sync
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
         overflow = bool((counts > np.asarray(self.agbnp.caps.caps)).any()
                         or int(nbmax) > self.kmax)
+        if self.agbnp.tree_kernel and self.agbnp.tree_windows is not None:
+            from ..ops.pallas import tree_sweep as _TS
+            overflow = overflow or not _TS.windows_ok(
+                np.asarray(spans), self.agbnp.tree_windows)
         return dict(ns_day=ns_day, elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
                     final_pos=pos, final_vel=vel, tree_counts_max=counts,
                     neighbor_max=int(nbmax), overflow=overflow,

@@ -82,13 +82,17 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
 
 
 def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
-                topology=None):
+                topology=None, sweep=None, tree_windows=None,
+                tree_npad: int = 0, tree_interpret: bool = False):
     """Two-pass cavity evaluation.
 
     With topology given (a T.tree_topology result from an earlier build),
     the build is replaced by a fixed-topology volume rescan — the fast MD
-    path between topology rebuilds.
-    Returns (e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2).
+    path between topology rebuilds.  With sweep (per-rebuild statics from
+    ops/pallas/tree_sweep.sweep_statics) the rescan+reduce run as banded
+    Pallas MXU kernels instead of XLA gathers/segment-sums.
+    Returns (e_cav, f_cav, self_volume, wu_ctx, lvl1_vdw, diag, red1, red2)
+    where wu_ctx is whatever the matching W/U gamma pass needs.
     """
     gamma_dr = a["gamma"] / roffset
 
@@ -102,6 +106,7 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
         red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=False)
         levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
         red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
+        wu_ctx = ("xla", levels_vdw)
     else:
         # fast MD path: both parameterizations rescanned and reduced in one
         # fused sweep over the fixed topology
@@ -109,14 +114,27 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
         diag = dict(counts=counts, caps=jnp.array(caps.caps),
                     max_siblings=jnp.zeros(7, jnp.int32),
                     offs=jnp.array(caps.offs + (0,)))
-        levels_large, levels_vdw = T.rescan_volumes2(topology, lvl1_large,
-                                                     lvl1_vdw)
-        red1, red2 = T.reduce_tree2(levels_large, levels_vdw,
-                                    lvl1_large, lvl1_vdw)
+        if sweep is not None:
+            from ..ops.pallas import tree_sweep as TS
+
+            diag["sweep_spans"] = sweep["spans"]
+            dats = TS.rescan2_sweep(sweep, lvl1_large, lvl1_vdw,
+                                    tree_windows, tree_npad,
+                                    interpret=tree_interpret)
+            red1, red2 = TS.reduce2_sweep(dats, sweep, lvl1_large, lvl1_vdw,
+                                          tree_windows, tree_npad,
+                                          interpret=tree_interpret)
+            wu_ctx = ("pallas", (dats, sweep))
+        else:
+            levels_large, levels_vdw = T.rescan_volumes2(topology, lvl1_large,
+                                                         lvl1_vdw)
+            red1, red2 = T.reduce_tree2(levels_large, levels_vdw,
+                                        lvl1_large, lvl1_vdw)
+            wu_ctx = ("xla", levels_vdw)
 
     e_cav = red1["energy"] + red2["energy"]
     f_cav = -(red1["dr"] + red2["dr"])
-    return e_cav, f_cav, red2["self_volume"], levels_vdw, lvl1_vdw, diag, red1, red2
+    return e_cav, f_cav, red2["self_volume"], wu_ctx, lvl1_vdw, diag, red1, red2
 
 
 def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
@@ -170,7 +188,9 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   roffset: float, ntypes_j: int, cutoff=None, topology=None,
                   mixed: bool = False, neighbor_rcut: float = 0.0,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
-                  pair_interpret: bool = False):
+                  pair_interpret: bool = False, sweep=None,
+                  tree_windows=None, tree_npad: int = 0,
+                  tree_interpret: bool = False):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -189,8 +209,10 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
         pi, pj, pv, nbmax = half_neighbor_pairs(
             pos, a["ishydrogen"] == 0, neighbor_rcut, neighbor_kmax)
         a = {**a, "pairs_i": pi, "pairs_j": pj, "pairs_valid": pv}
-    e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2 = \
-        tree_passes(a, pos, caps, roffset, topology=topology)
+    e_cav, f_cav, self_volume, wu_ctx, lvl1_vdw, diag, red1, red2 = \
+        tree_passes(a, pos, caps, roffset, topology=topology, sweep=sweep,
+                    tree_windows=tree_windows, tree_npad=tree_npad,
+                    tree_interpret=tree_interpret)
     if neighbor_kmax > 0:
         diag = {**diag, "neighbor_max": nbmax,
                 "neighbor_kmax": jnp.asarray(neighbor_kmax)}
@@ -236,9 +258,17 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # and both carry unit weights, so one pass over gamma_W + gamma_U gives
     # the identical force sum at half the tree work.
     gamma_WU = (evdw_der_W + egb_der_U) / a["vol_vdw_all"]
-    lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
-    red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
-                           with_selfvol=False)
+    if wu_ctx[0] == "pallas":
+        from ..ops.pallas import tree_sweep as TS
+
+        dats, sw = wu_ctx[1]
+        red_WU = TS.wu_sweep(dats, sw, gamma_WU, tree_windows, tree_npad,
+                             pos.shape[0], interpret=tree_interpret)
+    else:
+        levels_vdw = wu_ctx[1]
+        lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
+        red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
+                               with_selfvol=False)
 
     energy = e_cav + gb_self + gb_pair_e + e_vdw
     force = f_cav + pair_force - red_WU["dr"]
@@ -260,7 +290,8 @@ class AGBNPModel:
                  version: int = 1, cutoff: float | None = None,
                  dtype=np.float64, pairs=None, positions=None,
                  mixed: bool = False, box=None,
-                 pair_kernel: bool | None = None):
+                 pair_kernel: bool | None = None,
+                 tree_kernel: bool | None = None):
         self.params = params
         self.version = version
         self.cutoff = cutoff
@@ -286,6 +317,29 @@ class AGBNPModel:
         from ..ops.pallas.pairs import pad_to, pick_tile
         self.pair_pad = (pad_to(params.n, pick_tile(params.n))
                          if self.pair_kernel else 0)
+        # banded Pallas tree-sweep kernels for the fixed-topology MD path
+        # (ops/pallas/tree_sweep.py).  Opt-in: measured on the current
+        # TPU runtime both the XLA gather path and the banded kernels are
+        # bound by the same per-row / per-grid-step latency floor, so the
+        # sweep is kept as a validated alternative backend rather than the
+        # default (see benchmarks/RESULTS.md).  Window plans are sized
+        # lazily by the MD layer (ensure_tree_windows) from a built
+        # topology.
+        if tree_kernel is None:
+            tree_kernel = False
+        self.tree_kernel = bool(tree_kernel)
+        self.tree_interpret = False
+        self.tree_windows = None
+        self.tree_npad = 0
+        self.at6 = None
+        if self.tree_kernel:
+            import jax as _jax
+
+            from ..ops.pallas import tree_sweep as TS
+            self.tree_interpret = _jax.default_backend() != "tpu"
+            self.caps = TS.align_caps(caps)
+            caps = self.caps
+            self.tree_npad = TS.pad_rows(params.n)
         # large systems: build candidate pairs on device per evaluation (an
         # all-pairs list at N^2/2 rows is tile-padding hostile); small ones
         # keep the exact triangular list
@@ -305,7 +359,32 @@ class AGBNPModel:
         self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs,
                                      pair_pad=self.pair_pad)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
+        if self.tree_kernel:
+            from ..ops.pallas import tree_sweep as TS
+            self.at6 = TS.atom_statics(self.arrays, params.roffset,
+                                       self.tree_npad, dtype)
         self._build_jit()
+
+    def ensure_tree_windows(self, topology_host_spans=None, topology=None):
+        """Size the per-level banded window plan for the tree-sweep kernels
+        from a built topology's measured spans (host side).  Disables the
+        kernel if a level is ineligible (huge span on a huge level)."""
+        from ..ops.pallas import tree_sweep as TS
+
+        if not self.tree_kernel or self.tree_windows is not None:
+            return self.tree_windows
+        if topology_host_spans is None:
+            parent_caps = [self.tree_npad] + [t["valid"].shape[0]
+                                              for t in topology[:-1]]
+            topology_host_spans = np.asarray(
+                TS.level_spans(topology, parent_caps))
+        parent_caps = (self.tree_npad,) + self.caps.caps[:-1]
+        windows = TS.size_windows(topology_host_spans, parent_caps)
+        if any(w < 0 for w in windows):
+            self.tree_kernel = False
+            return None
+        self.tree_windows = windows
+        return windows
 
     @staticmethod
     def _sized_caps(params, positions):
@@ -347,6 +426,10 @@ class AGBNPModel:
             self.caps = self.caps.grow(
                 [bool(c) for c in ov["cap_overflow"]],
                 [bool(s) for s in ov["sib_overflow"][:-1]])
+            if self.tree_kernel:
+                from ..ops.pallas import tree_sweep as TS
+                self.caps = TS.align_caps(self.caps)
+                self.tree_windows = None  # re-size on next rebuild
         if nb_over:
             self.neighbor_kmax = int(np.ceil(
                 int(diag["neighbor_max"]) * 1.5 / 16) * 16)
