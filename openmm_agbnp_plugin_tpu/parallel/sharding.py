@@ -63,7 +63,7 @@ def atom_sharded_born_sums(mesh: Mesh, axis: str = "replica"):
     screener-side W/U-style column sums with a psum over the mesh axis.
     """
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     def kernel(q_block, s_factor, brw_block):
         # row sums: local
