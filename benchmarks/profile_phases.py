@@ -64,7 +64,8 @@ def main():
     def build(p):
         lvl1 = T.make_level1(p, a["radii_large"], a["vol_large"], gdr,
                              a["ishydrogen"])
-        levels, diag = T.build_tree(lvl1, pi, pj, caps, pairs_valid=pv)
+        levels, diag = T.build_tree(lvl1, pi, pj, caps, pairs_valid=pv,
+                                    pair_rows=True)
         return levels
     levels = jax.jit(build)(pos)
     topo = T.tree_topology(levels)
@@ -76,8 +77,10 @@ def main():
     print(f"cavity rescan+reduce2: {timeit(jax.jit(cavity), pos):.3f} ms")
 
     # per-step gamma rescan pass
-    _, _, self_volume, levels_vdw, lvl1_vdw, *_ = jax.jit(
-        lambda p: tree_passes(a2, p, caps, roffset, topology=topo))(pos)
+    def _passes(p):
+        out = tree_passes(a2, p, caps, roffset, topology=topo)
+        return out[2], out[3][1], out[4]
+    self_volume, levels_vdw, lvl1_vdw = jax.jit(_passes)(pos)
 
     def gamma_pass(p, gamma_WU):
         lvl1 = {**lvl1_vdw, "gamma1i": gamma_WU}

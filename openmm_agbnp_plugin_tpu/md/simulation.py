@@ -90,7 +90,8 @@ class Simulation:
         lvl1 = _T.make_level1(pos, m.arrays["radii_large"],
                               m.arrays["vol_large"], gdr,
                               m.arrays["ishydrogen"])
-        levels, _ = jax.jit(partial(_T.build_tree, caps=m.caps))(
+        levels, _ = jax.jit(partial(_T.build_tree, caps=m.caps,
+                                    pair_rows=True))(
             lvl1, pi, pj, pairs_valid=pv)
         m.ensure_tree_windows(topology=_T.tree_topology(levels))
 
@@ -104,6 +105,7 @@ class Simulation:
                             roffset=self.agbnp.params.roffset,
                             ntypes_j=self.agbnp.ntypes_j,
                             cutoff=self.agbnp.cutoff, topology=topology,
+                            pair_rows=pairs is not None,
                             mixed=self.agbnp.mixed,
                             pair_pad=self.agbnp.pair_pad,
                             pair_interpret=self.agbnp.pair_interpret,
@@ -189,7 +191,8 @@ class Simulation:
                     levels, bdiag = _T.build_tree(lvl1, pi, pj,
                                                   self.agbnp.caps,
                                                   pairs_valid=pv,
-                                                  relax=topology_relax)
+                                                  relax=topology_relax,
+                                                  pair_rows=True)
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
                     if (self.agbnp.tree_kernel

@@ -83,7 +83,8 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
 
 def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
                 topology=None, sweep=None, tree_windows=None,
-                tree_npad: int = 0, tree_interpret: bool = False):
+                tree_npad: int = 0, tree_interpret: bool = False,
+                pair_rows: bool = False):
     """Two-pass cavity evaluation.
 
     With topology given (a T.tree_topology result from an earlier build),
@@ -102,7 +103,8 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
                              -gamma_dr, a["ishydrogen"])
     if topology is None:
         levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"],
-                                    caps, pairs_valid=a["pairs_valid"])
+                                    caps, pairs_valid=a["pairs_valid"],
+                                    pair_rows=pair_rows)
         red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=False)
         levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
         red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
@@ -190,7 +192,7 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
                   pair_interpret: bool = False, sweep=None,
                   tree_windows=None, tree_npad: int = 0,
-                  tree_interpret: bool = False):
+                  tree_interpret: bool = False, pair_rows: bool = False):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -209,10 +211,11 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
         pi, pj, pv, nbmax = half_neighbor_pairs(
             pos, a["ishydrogen"] == 0, neighbor_rcut, neighbor_kmax)
         a = {**a, "pairs_i": pi, "pairs_j": pj, "pairs_valid": pv}
+        pair_rows = True
     e_cav, f_cav, self_volume, wu_ctx, lvl1_vdw, diag, red1, red2 = \
         tree_passes(a, pos, caps, roffset, topology=topology, sweep=sweep,
                     tree_windows=tree_windows, tree_npad=tree_npad,
-                    tree_interpret=tree_interpret)
+                    tree_interpret=tree_interpret, pair_rows=pair_rows)
     if neighbor_kmax > 0:
         diag = {**diag, "neighbor_max": nbmax,
                 "neighbor_kmax": jnp.asarray(neighbor_kmax)}

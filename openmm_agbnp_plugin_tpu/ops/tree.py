@@ -246,6 +246,94 @@ def _sibling_candidates(level, level1, offs, relax=None):
     return dat.reshape(ncand, _D), ints.reshape(ncand, 2), mask.reshape(ncand)
 
 
+def _compact_rows(key, mask, cap):
+    """Row-structured compaction: pack survivors of a [rows, width] candidate
+    grid into a fixed-cap level, row-grouped with key-descending order within
+    each row (rows are parents, so this reproduces _compact's
+    (parent asc, volume desc) order without any O(rows*width) scatter/gather:
+    one vectorized per-row sort + O(rows) scatter + O(cap) gathers).
+
+    Returns (row_of_slot, off_of_slot, valid, count) where off is the
+    within-row candidate offset, so the flat candidate index is
+    row * width + off.
+    """
+    rows, width = key.shape
+    iw = jnp.arange(width, dtype=jnp.int32)
+    skey = jnp.where(mask, -key, jnp.inf)
+    _, off_sorted = jax.lax.sort(
+        (skey, jnp.broadcast_to(iw[None, :], (rows, width))),
+        dimension=1, num_keys=1, is_stable=True)
+    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
+    ends = jnp.cumsum(cnt)
+    starts = ends - cnt
+    count = ends[-1]
+    # row id per output slot: +1 at every row start (duplicates from empty
+    # rows make the running count skip them), then an inclusive scan
+    marks = jnp.zeros(cap, jnp.int32).at[starts].add(1, mode="drop")
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    row = jnp.clip(jnp.cumsum(marks) - 1, 0, rows - 1)
+    pos = slot - starts[row]
+    off = off_sorted.reshape(-1)[row * width + jnp.clip(pos, 0, width - 1)]
+    valid = slot < count
+    return row, off, valid, count, cnt
+
+
+def _build_sibling_level(prev_lvl, prev_a6, level1, offs, cap, relax):
+    """Next-level build without O(ncand) gathers: the partner's atomic row
+    comes from a shifted window of the level's own carried atomic matrix
+    (prev_a6[s] == level1._at[atom_s]) instead of a dynamic gather, and
+    compaction uses _compact_rows.  Returns (lvl, a6, count, max_sib)."""
+    cap_prev = prev_lvl["_dat"].shape[0]
+    src_i = jnp.concatenate(
+        [prev_lvl["_ints"], prev_lvl["valid"][:, None].astype(jnp.int32)],
+        axis=1)
+    srcp_i = jnp.pad(src_i, ((0, offs), (0, 0)), constant_values=-1)
+    win_i = jnp.stack([srcp_i[o:o + cap_prev] for o in range(1, offs + 1)],
+                      axis=1)  # [cap_prev, offs, 3]
+    srcp_a = jnp.pad(prev_a6, ((0, offs), (0, 0)))
+    win_a = jnp.stack([srcp_a[o:o + cap_prev] for o in range(1, offs + 1)],
+                      axis=1)  # [cap_prev, offs, 6]
+    pair_ok = ((win_i[:, :, 2] > 0)
+               & prev_lvl["valid"][:, None]
+               & (win_i[:, :, 1] == prev_lvl["parent"][:, None]))
+
+    dat_s = prev_lvl["_dat"]
+    dat, sgvol = _cand_dat(dat_s[:, 0:1], dat_s[:, 1:2],
+                           dat_s[:, None, 2:5], dat_s[:, 11:12], win_a)
+    mask = pair_ok & _survive_mask(dat, sgvol, relax)
+
+    row, off, valid, count, cnt = _compact_rows(dat[:, :, 5], mask, cap)
+    idx = row * offs + off
+    out_dat = jnp.where(valid[:, None], dat.reshape(cap_prev * offs, _D)[idx],
+                        0.0)
+    atom2 = jnp.where(valid, win_i[:, :, 0].reshape(-1)[idx], 0)
+    ints = jnp.stack([atom2, jnp.where(valid, row, 0)], axis=1)     .astype(jnp.int32)
+    a6 = level1["_at"][atom2]
+    return _level_views(out_dat, ints, valid), a6, count, jnp.max(cnt)
+
+
+def _build_pair_level(level1, pj2d, pv2d, cap, relax):
+    """Level-2 build from a fixed-width i-major neighbor grid [N, kmax]
+    (half_neighbor_pairs layout): the i side is a broadcast, not a gather,
+    and compaction is row-structured.  Returns (lvl, a6, count, max_sib)."""
+    at = level1["_at"]
+    n, kmax = pj2d.shape
+    a = at[pj2d]  # [n, kmax, 6] — the one unavoidable gather
+    dat, sgvol = _cand_dat(at[:, 0:1], at[:, 1:2], at[:, None, 2:5],
+                           at[:, 5:6], a)
+    mask = _survive_mask(dat, sgvol, relax)
+    if pv2d is not None:
+        mask = mask & pv2d
+
+    row, off, valid, count, cnt = _compact_rows(dat[:, :, 5], mask, cap)
+    idx = row * kmax + off
+    out_dat = jnp.where(valid[:, None], dat.reshape(n * kmax, _D)[idx], 0.0)
+    atom2 = jnp.where(valid, pj2d.reshape(-1)[idx], 0)
+    ints = jnp.stack([atom2, jnp.where(valid, row, 0)], axis=1)     .astype(jnp.int32)
+    a6 = at[atom2]
+    return _level_views(out_dat, ints, valid), a6, count, jnp.max(cnt)
+
+
 def _max_siblings(level, parent_cap):
     """Largest number of surviving children under one parent."""
     cnt = jax.ops.segment_sum(level["valid"].astype(jnp.int32),
@@ -254,34 +342,42 @@ def _max_siblings(level, parent_cap):
 
 
 def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
-               relax=None):
+               relax=None, pair_rows: bool = False):
     """Builds all overlap levels 2..MAX_ORDER.
 
     pairs_i/pairs_j: candidate 2-body pairs (i < j), i-major order — from an
     all-pairs enumeration or a padded neighbor list (pairs_valid masks the
-    list's padding slots).  Returns (levels, diag) where diag carries
-    per-level counts and overflow indicators.
+    list's padding slots; when the list is the fixed-width [N, kmax] grid of
+    half_neighbor_pairs, level 2 takes the gather-free row path).  Returns
+    (levels, diag) where diag carries per-level counts and overflow
+    indicators.
     """
     natoms = level1["gv"].shape[0]
     levels = []
     counts = []
     sib_max = []
 
-    dat, cints, mask = _pair_candidates(level1, pairs_i, pairs_j,
-                                        pairs_valid, relax)
-    lvl, count = _compact(mask, dat, cints, caps.caps[0], natoms)
+    if pair_rows:
+        pj2d = pairs_j.reshape(natoms, -1)
+        pv2d = None if pairs_valid is None else pairs_valid.reshape(natoms, -1)
+        lvl, a6, count, msib = _build_pair_level(level1, pj2d, pv2d,
+                                                 caps.caps[0], relax)
+    else:
+        dat, cints, mask = _pair_candidates(level1, pairs_i, pairs_j,
+                                            pairs_valid, relax)
+        lvl, count = _compact(mask, dat, cints, caps.caps[0], natoms)
+        a6 = level1["_at"][lvl["atom"]]
+        msib = _max_siblings(lvl, natoms)
     levels.append(lvl)
     counts.append(count)
-    sib_max.append(_max_siblings(lvl, natoms))
+    sib_max.append(msib)
 
     for l in range(1, NUM_TREE_LEVELS):
-        dat, cints, mask = _sibling_candidates(
-            levels[-1], level1, caps.offs[l - 1], relax)
-        lvl, count = _compact(mask, dat, cints, caps.caps[l],
-                              caps.caps[l - 1])
+        lvl, a6, count, msib = _build_sibling_level(
+            levels[-1], a6, level1, caps.offs[l - 1], caps.caps[l], relax)
         levels.append(lvl)
         counts.append(count)
-        sib_max.append(_max_siblings(lvl, caps.caps[l - 1]))
+        sib_max.append(msib)
 
     diag = dict(
         counts=jnp.stack(counts),
