@@ -45,18 +45,24 @@ class Simulation:
                  caps=None, pairs=None, skin: float = 0.15,
                  kmax: int | None = None, vsites=None, mixed: bool = False,
                  pair_kernel: bool | None = None,
-                 tree_kernel: bool | None = None):
+                 tree_kernel: bool | None = None,
+                 caps_boost: float = 1.25):
         self.dms = dms
         self.dtype = dtype
         self.vsites = vsites.arrays(dtype) if vsites is not None and             getattr(vsites, "count", 0) > 0 else None
         params = AGBNPParams(radius=dms.agbnp_radius, gamma=dms.agbnp_gamma,
                              alpha=dms.agbnp_alpha, charge=dms.charges,
                              ishydrogen=dms.ishydrogen)
+        # MD runs with tighter tree-capacity headroom than the one-shot API
+        # (counts drift slowly at equilibrium and overflow is detected, so a
+        # lean pad buys ~10-20% step time; the PanicButton grow path covers
+        # the tail)
         self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
                                 dtype=dtype, caps=caps, pairs=pairs,
                                 positions=dms.positions, mixed=mixed,
                                 pair_kernel=pair_kernel,
-                                tree_kernel=tree_kernel)
+                                tree_kernel=tree_kernel,
+                                caps_boost=caps_boost)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)

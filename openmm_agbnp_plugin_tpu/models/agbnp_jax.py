@@ -294,14 +294,15 @@ class AGBNPModel:
                  dtype=np.float64, pairs=None, positions=None,
                  mixed: bool = False, box=None,
                  pair_kernel: bool | None = None,
-                 tree_kernel: bool | None = None):
+                 tree_kernel: bool | None = None,
+                 caps_boost: float = 1.6):
         self.params = params
         self.version = version
         self.cutoff = cutoff
         self.mixed = mixed
         self.box = None if box is None else jnp.asarray(box, dtype)
         if caps is None:
-            caps = self._sized_caps(params, positions)
+            caps = self._sized_caps(params, positions, caps_boost)
         self.caps = caps
         self.dtype = dtype
         # fused Pallas pair kernels: default ON for the TPU f32 deployment
@@ -390,17 +391,18 @@ class AGBNPModel:
         return windows
 
     @staticmethod
-    def _sized_caps(params, positions):
+    def _sized_caps(params, positions, boost: float = 1.6):
         """Capacity sizing: exact native pre-pass on the given positions
         (the reference's CPU GaussVol pre-pass analogue) when the native
         runtime is available, else the measured-ratio heuristic."""
         if positions is not None:
             try:
                 from ..runtime.native import size_tree_caps
-                return size_tree_caps(params, np.asarray(positions))
+                return size_tree_caps(params, np.asarray(positions),
+                                      boost=boost)
             except Exception:
                 pass
-        return T.TreeCaps.for_natoms(params.n)
+        return T.TreeCaps.for_natoms(params.n, boost=max(1.0, boost / 1.6))
 
     def _build_jit(self):
         self._jit_ef = jax.jit(partial(
