@@ -14,9 +14,11 @@ nodes with a validity mask:
 
 Construction is level-synchronous: level-(k+1) candidates are sibling pairs
 (nodes sharing a parent) enumerated with a static per-level sibling-offset
-window, overlapped with the partner's last-atom Gaussian, pruned by the
-switching threshold, and compacted with jnp.nonzero into the next level's
-capacity.  Each level is kept grouped by parent and volume-sorted within the
+window, overlapped with the partner's last-atom Gaussian (whose atomic row
+is carried in the level so the enumeration needs no dynamic gather), pruned
+by the switching threshold, and compacted into the next level's capacity by
+a vectorized per-row sort plus an O(rows) scatter-cumsum slot map
+(_compact_rows) — no O(candidates) scatter or gather anywhere.  Each level is kept grouped by parent and volume-sorted within the
 group — the same descending-volume sibling order the reference fixes at
 creation (add_children, gaussvol.cpp:169-171) — because the sort decides
 under which sibling each deeper overlap is materialized and therefore which
@@ -207,43 +209,6 @@ def _pair_candidates(level1, pairs_i, pairs_j, pairs_valid=None, relax=None):
         mask = mask & pairs_valid
     ints = jnp.stack([pairs_j, pairs_i], axis=1).astype(jnp.int32)
     return dat, ints, mask
-
-
-def _sibling_candidates(level, level1, offs, relax=None):
-    """Candidate overlaps of each node with its next `offs` siblings.
-
-    Children of node s come from overlapping s's product Gaussian with the
-    last atoms of later siblings under the same parent
-    (compute_children, gaussvol.cpp:197-250).  Siblings are contiguous
-    (levels are parent-grouped), so the partner at offset o is a shifted
-    window of the level arrays: static slices, no dynamic gathers.
-    [cap, offs] flattens s-major, preserving parent grouping.
-    """
-    cap = level["atom"].shape[0]
-
-    # one packed int source: [cap, 3] = (atom, parent, valid); one pad + one
-    # stacked shifted-window instead of three
-    src = jnp.concatenate(
-        [level["_ints"], level["valid"][:, None].astype(jnp.int32)], axis=1)
-    srcp = jnp.pad(src, ((0, offs), (0, 0)),
-                   constant_values=-1)  # pad rows: atom -1, parent -1, valid<=0
-    win = jnp.stack([srcp[o:o + cap] for o in range(1, offs + 1)],
-                    axis=1)  # [cap, offs, 3]
-    pair_ok = ((win[:, :, 2] > 0)
-               & level["valid"][:, None]
-               & (win[:, :, 1] == level["parent"][:, None]))
-    atom2 = jnp.where(pair_ok, win[:, :, 0], 0)
-
-    dat_s = level["_dat"]
-    dat, sgvol = _cand_dat(dat_s[:, 0:1], dat_s[:, 1:2],
-                           dat_s[:, None, 2:5], dat_s[:, 11:12],
-                           level1["_at"][atom2])
-    mask = pair_ok & _survive_mask(dat, sgvol, relax)
-    s_idx = jnp.broadcast_to(
-        jnp.arange(cap, dtype=jnp.int32)[:, None], (cap, offs))
-    ints = jnp.stack([atom2, s_idx], axis=-1).astype(jnp.int32)
-    ncand = cap * offs
-    return dat.reshape(ncand, _D), ints.reshape(ncand, 2), mask.reshape(ncand)
 
 
 def _compact_rows(key, mask, cap):

@@ -90,3 +90,27 @@ def test_translation_invariance(gaussvol_system, model_v1):
     e2, f2 = model_v1.energy_forces(pos + np.array([1.0, -2.0, 0.5]))
     assert float(e2) == pytest.approx(float(e), abs=1e-8)
     assert np.abs(np.array(f2).sum(0)).max() < 1e-8
+
+
+def test_row_structured_build_matches_flat(gaussvol_system, model_v1):
+    """The gather-free [N, kmax] row build (pair_rows=True, the MD path)
+    must be bitwise-identical to the flat triangular-pair build."""
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import energy_forces
+    from openmm_agbnp_plugin_tpu.ops.neighbors import (
+        half_neighbor_pairs, tree_pair_cutoff)
+
+    params, pos = gaussvol_system
+    m = model_v1
+    ref = energy_forces(m.arrays, pos, caps=m.caps, version=1,
+                        roffset=params.roffset, ntypes_j=m.ntypes_j)
+
+    rcut = tree_pair_cutoff(params.radii_large) + 0.1
+    heavy = jnp.asarray(np.asarray(params.ishydrogen) == 0)
+    pi, pj, pv, _ = half_neighbor_pairs(jnp.asarray(pos), heavy, rcut, 64)
+    a = {**m.arrays, "pairs_i": pi, "pairs_j": pj, "pairs_valid": pv}
+    out = energy_forces(a, pos, caps=m.caps, version=1,
+                        roffset=params.roffset, ntypes_j=m.ntypes_j,
+                        pair_rows=True)
+    assert float(out["energy"]) == float(ref["energy"])
+    np.testing.assert_array_equal(np.array(out["force"]),
+                                  np.array(ref["force"]))
