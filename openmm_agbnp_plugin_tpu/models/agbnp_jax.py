@@ -46,17 +46,24 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         pairs = np.triu_indices(n, 1)
     extra = {}
     if pair_pad > 0:
-        from ..ops.pallas.pairs import prepare_pair_tables
+        from ..ops.pallas.pairs import pad_to, pick_tile, prepare_pair_tables
 
         rowY, cols_oh = prepare_pair_tables(tables.type_screened,
                                             tables.type_screener,
                                             tables.yval, tables.y2val)
         extra["rowY_pad"] = jnp.asarray(
             np.pad(rowY, ((0, pair_pad - n), (0, 0))), dtype)
-        extra["cols_oh_pad"] = jnp.asarray(
-            np.pad(cols_oh, ((0, pair_pad - n), (0, 0))), dtype)
         extra["charge_pad"] = jnp.asarray(
             np.pad(np.asarray(p.charge), (0, pair_pad - n)), dtype)
+        # heavy-packed screener columns for the born/descreening kernels
+        # (hydrogens never screen: type -1 / zero self-volume)
+        hidx = np.nonzero(np.asarray(p.ishydrogen) == 0)[0]
+        nhpad = pad_to(len(hidx), pick_tile(n))
+        hids = np.full(nhpad, -1, np.int32)
+        hids[:len(hidx)] = hidx
+        extra["hids_pad"] = jnp.asarray(hids)
+        extra["cols_oh_hpad"] = jnp.asarray(
+            np.pad(cols_oh[hidx], ((0, nhpad - len(hidx)), (0, 0))), dtype)
     return dict(
         **extra,
         radii_large=jnp.asarray(p.radii_large, dtype),
@@ -143,20 +150,33 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
                         pair_interpret: bool):
     """Born/GB/descreening pair phases via the fused Pallas tile kernels
     (ops/pallas/pairs.py), replacing ops/born.py's dense [N, N] HBM
-    formulation.  Returns the same quantities the XLA path produces."""
+    formulation.  Returns the same quantities the XLA path produces.
+    The born/descreening screener axis is packed to heavy atoms only."""
     from ..ops.pallas import pairs as PK
 
     n = pos.shape[0]
     tile = PK.pick_tile(n)
     boxv = None if box is None else tuple(float(x) for x in np.asarray(box))
     pos_pad = jnp.pad(pos, ((0, pair_pad - n), (0, 0))).T  # [3, NP]
+    hids = a["hids_pad"]
+    hvalid = hids >= 0
+    hclip = jnp.clip(hids, 0)
+    pos_hpad = (pos[hclip] * hvalid[:, None]).T  # [3, NHP]
 
     def padv(x):
         return jnp.pad(x, (0, pair_pad - n))
 
+    def hpack(x):
+        return jnp.where(hvalid, x[hclip], 0.0)
+
+    def hscatter(xh):
+        return jnp.zeros(n, xh.dtype).at[hclip].add(
+            jnp.where(hvalid, xh, 0.0))
+
     def run(s_factor, radii_vdw, charge, alpha):
-        s_pad = padv(s_factor)
-        raw = PK.born_sums(pos_pad, a["rowY_pad"], a["cols_oh_pad"], s_pad,
+        s_h = hpack(s_factor)
+        raw = PK.born_sums(pos_pad, pos_hpad, hids, a["rowY_pad"],
+                           a["cols_oh_hpad"], s_h,
                            n, tile, box=boxv, interpret=pair_interpret)
         from ..models.constants import PIFAC
         beta = 1.0 / radii_vdw - PIFAC * raw[:n]
@@ -174,14 +194,16 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
 
         evdw_der_brw, egb_der_bru = B.born_chain_factors(
             alpha, charge, br, fp, egb_der_Y)
-        w, u, swf = PK.descreening(pos_pad, a["rowY_pad"], a["cols_oh_pad"],
-                                   s_pad, padv(evdw_der_brw),
-                                   padv(egb_der_bru), n, tile, box=boxv,
-                                   interpret=pair_interpret)
+        w_h, u_h, swf_r, swf_c = PK.descreening(
+            pos_pad, pos_hpad, hids, a["rowY_pad"], a["cols_oh_hpad"],
+            s_h, padv(evdw_der_brw), padv(egb_der_bru), n, tile, box=boxv,
+            interpret=pair_interpret)
+        swf_cols = jnp.zeros((n, 3), swf_c.dtype).at[hclip].add(
+            jnp.where(hvalid[:, None], swf_c, 0.0))
         return dict(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
                     born_radius=br,
-                    pair_force=gbf[:n] + swf[:n],
-                    evdw_der_W=w[:n], egb_der_U=u[:n])
+                    pair_force=gbf[:n] + swf_r[:n] + swf_cols,
+                    evdw_der_W=hscatter(w_h), egb_der_U=hscatter(u_h))
 
     return run
 

@@ -142,39 +142,49 @@ def _tile_ids(ti_, tj_, i, j):
 # Kernel A: inverse-Born-radius descreening sums
 # ---------------------------------------------------------------------------
 
-def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, rowY, colsoh, sj, out,
+def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, out,
                  *, ntj, n, box):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ti_ = pxr.shape[1]
-    tj_ = pxc.shape[1]
     dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
     d = jnp.sqrt(d2)
-    gi, gj = _tile_ids(ti_, tj_, i, j)
-    mask = (gi != gj) & (gi < n) & (gj < n) & (d < AGBNP_I4LOOKUP_MAXA)
-    q, _ = _tile_spline(rowY[...], colsoh[...], d, mask, ntj, deriv=False)
-    part = jnp.sum(q * sj[0][None, :], axis=1)  # [TI]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ti_, pxc.shape[1]), 0) + i * ti_
+    gj = hid[0][None, :]
+    mask = ((gi != gj) & (gi < n) & (gj >= 0)
+            & (d < AGBNP_I4LOOKUP_MAXA))
 
     @pl.when(j == 0)
     def _():
-        out[0, :] = part
+        out[0, :] = jnp.zeros_like(out[0, :])
 
-    @pl.when(j > 0)
+    # the spline contraction (32 small MXU matmuls) only runs for tiles with
+    # at least one pair inside the 2 nm LUT range — beyond it Q is exactly 0
+    # (reference AGBNPUtils.cpp:113-127), so skipped tiles change nothing
+    @pl.when(jnp.any(mask))
     def _():
-        out[0, :] = out[0, :] + part
+        q, _ = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
+                            deriv=False)
+        out[0, :] = out[0, :] + jnp.sum(q * sj[0][None, :], axis=1)
 
 
-def born_sums(pos_pad, rowY, cols_oh, s_pad, n, tile, box=None,
-              interpret=False):
-    """raw_i = sum_j s_j Q4(d_ij) over the dense padded pair space.
+def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
+              box=None, interpret=False):
+    """raw_i = sum_j s_j Q4(d_ij) with the screener (column) axis packed to
+    heavy atoms only: hydrogens never screen (zero self-volume and screener
+    type -1, reference AGBNPUtils.cpp:168-171), so their columns are
+    dropped instead of masked.
 
-    pos_pad [3, NP]; rowY [NP, Tj*2*NA]; cols_oh [NP, Tj]; s_pad [NP].
+    pos_pad [3, NP] (screened rows); pos_hpad [3, NHP] (heavy screeners);
+    hids_pad [NHP] global atom index per packed column (-1 padding);
+    rowY [NP, Tj*2*NA]; cols_oh_h [NHP, Tj]; s_hpad [NHP].
     Mirrors inverseBornRadii (reference AGBNPBornRadii.cl:181-490;
     CPU loop ReferenceAGBNPKernels.cpp:437-454).
     """
     npad = pos_pad.shape[1]
-    ntj = cols_oh.shape[1]
-    grid = (npad // tile, npad // tile)
+    nhpad = pos_hpad.shape[1]
+    ntj = cols_oh_h.shape[1]
+    grid = (npad // tile, nhpad // tile)
     dt = pos_pad.dtype
     row = lambda i, j: (0, i)
     col = lambda i, j: (0, j)
@@ -187,6 +197,7 @@ def born_sums(pos_pad, rowY, cols_oh, s_pad, n, tile, box=None,
             pl.BlockSpec((1, tile), row),
             pl.BlockSpec((1, tile), col), pl.BlockSpec((1, tile), col),
             pl.BlockSpec((1, tile), col),
+            pl.BlockSpec((1, tile), col),
             pl.BlockSpec((tile, rowY.shape[1]), lambda i, j: (i, 0)),
             pl.BlockSpec((tile, ntj), lambda i, j: (j, 0)),
             pl.BlockSpec((1, tile), col),
@@ -195,8 +206,8 @@ def born_sums(pos_pad, rowY, cols_oh, s_pad, n, tile, box=None,
         out_shape=jax.ShapeDtypeStruct((1, npad), dt),
         interpret=interpret,
     )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
-      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
-      rowY, cols_oh, s_pad[None, :])
+      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
+      rowY, cols_oh_h, s_hpad[None, :])
     return out[0]
 
 
@@ -293,7 +304,7 @@ def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,
 # Kernel C: descreening derivative sweep (W/U accumulators + direct forces)
 # ---------------------------------------------------------------------------
 
-def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, rowY, colsoh, sj,
+def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj,
                      brwr, brur, fx, fy, fz, wcol, ucol, fcx, fcy, fcz,
                      *, ntj, n, box):
     i = pl.program_id(0)
@@ -302,86 +313,91 @@ def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, rowY, colsoh, sj,
     tj_ = pxc.shape[1]
     dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
     d = jnp.sqrt(d2)
-    gi, gj = _tile_ids(ti_, tj_, i, j)
-    mask = (gi != gj) & (gi < n) & (gj < n) & (d < AGBNP_I4LOOKUP_MAXA)
-    q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj, deriv=True)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ti_, tj_), 0) + i * ti_
+    gj = hid[0][None, :]
+    mask = (gi != gj) & (gi < n) & (gj >= 0) & (d < AGBNP_I4LOOKUP_MAXA)
 
-    # column accumulators live as full-width [1, NP] blocks with a constant
+    # column accumulators live as full-width [1, NHP] blocks with a constant
     # index map: the TPU grid is serial, so the whole row stays in VMEM for
     # the entire sweep and slices can be accumulated in any visit order
-    # (a [n_tiles, NP] partials layout would violate Mosaic's (8, 128)
+    # (a [n_tiles, NHP] partials layout would violate Mosaic's (8, 128)
     # block-shape rule on the n_tiles axis)
     @pl.when((i == 0) & (j == 0))
     def _():
         for ref in (wcol, ucol, fcx, fcy, fcz):
             ref[...] = jnp.zeros_like(ref)
 
-    # W_j += BrW_i Q_ij, U_j += BrU_i Q_ij: column sums for this tile
-    sl = (0, pl.dslice(j * tj_, tj_))
-    wcol[sl] += jnp.sum(brwr[0][:, None] * q, axis=0)
-    ucol[sl] += jnp.sum(brur[0][:, None] * q, axis=0)
-
-    # direct descreening forces: c_ij = (BrW+BrU)_i s_j dQ/d
-    dt = dx.dtype
-    c = ((brwr[0] + brur[0])[:, None] * sj[0][None, :] * dq
-         * jnp.where(mask, 1.0 / jnp.where(mask, d, 1.0), 0.0).astype(dt))
-    fxp = jnp.sum(c * dx, axis=1)
-    fyp = jnp.sum(c * dy, axis=1)
-    fzp = jnp.sum(c * dz, axis=1)
-    # column side: force_j -= sum_i c_ij * dist_ij
-    fcx[sl] += -jnp.sum(c * dx, axis=0)
-    fcy[sl] += -jnp.sum(c * dy, axis=0)
-    fcz[sl] += -jnp.sum(c * dz, axis=0)
-
     @pl.when(j == 0)
     def _():
-        fx[0, :] = fxp
-        fy[0, :] = fyp
-        fz[0, :] = fzp
+        fx[0, :] = jnp.zeros_like(fx[0, :])
+        fy[0, :] = jnp.zeros_like(fy[0, :])
+        fz[0, :] = jnp.zeros_like(fz[0, :])
 
-    @pl.when(j > 0)
+    # all pair terms vanish beyond the 2 nm LUT range (Q = dQ = 0), so
+    # fully-out-of-range tiles skip the spline contraction entirely
+    @pl.when(jnp.any(mask))
     def _():
-        fx[0, :] = fx[0, :] + fxp
-        fy[0, :] = fy[0, :] + fyp
-        fz[0, :] = fz[0, :] + fzp
+        q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
+                             deriv=True)
+
+        # W_j += BrW_i Q_ij, U_j += BrU_i Q_ij: column sums for this tile
+        sl = (0, pl.dslice(j * tj_, tj_))
+        wcol[sl] += jnp.sum(brwr[0][:, None] * q, axis=0)
+        ucol[sl] += jnp.sum(brur[0][:, None] * q, axis=0)
+
+        # direct descreening forces: c_ij = (BrW+BrU)_i s_j dQ/d
+        dt = dx.dtype
+        c = ((brwr[0] + brur[0])[:, None] * sj[0][None, :] * dq
+             * jnp.where(mask, 1.0 / jnp.where(mask, d, 1.0), 0.0).astype(dt))
+        fx[0, :] += jnp.sum(c * dx, axis=1)
+        fy[0, :] += jnp.sum(c * dy, axis=1)
+        fz[0, :] += jnp.sum(c * dz, axis=1)
+        # column side: force_j -= sum_i c_ij * dist_ij
+        fcx[sl] += -jnp.sum(c * dx, axis=0)
+        fcy[sl] += -jnp.sum(c * dy, axis=0)
+        fcz[sl] += -jnp.sum(c * dz, axis=0)
 
 
-def descreening(pos_pad, rowY, cols_oh, s_pad, brw_pad, bru_pad, n, tile,
-                box=None, interpret=False):
+def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
+                brw_pad, bru_pad, n, tile, box=None, interpret=False):
     """Descreening derivative sweep (reference
     ReferenceAGBNPKernels.cpp:555-586, VdWGBDerBorn
-    AGBNPBornRadii.cl:872-1280).
+    AGBNPBornRadii.cl:872-1280) with heavy-packed screener columns.
 
-    Returns (W [NP], U [NP], force [NP, 3]).  Row reductions accumulate
-    in-block across the j-minor grid; column reductions accumulate into
-    full-width [1, NP] VMEM-resident blocks (constant index map).
+    Returns (W [NHP], U [NHP], force_rows [NP, 3], force_cols [NHP, 3]);
+    the column-side quantities are in packed heavy layout — scatter them
+    back to atom order with hids_pad.  Row reductions accumulate in-block
+    across the j-minor grid; column reductions accumulate into full-width
+    [1, NHP] VMEM-resident blocks (constant index map).
     """
     npad = pos_pad.shape[1]
-    ntj = cols_oh.shape[1]
-    nt = npad // tile
-    grid = (nt, nt)
+    nhpad = pos_hpad.shape[1]
+    ntj = cols_oh_h.shape[1]
+    grid = (npad // tile, nhpad // tile)
     dt = pos_pad.dtype
     row = lambda i, j: (0, i)
     col = lambda i, j: (0, j)
     full = lambda i, j: (0, 0)
     rowshp = jax.ShapeDtypeStruct((1, npad), dt)
+    colshp = jax.ShapeDtypeStruct((1, nhpad), dt)
     fx, fy, fz, w, u, fcx, fcy, fcz = pl.pallas_call(
         functools.partial(_descreen_kernel, ntj=ntj, n=n,
                           box=None if box is None else tuple(box)),
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile), row)] * 3
         + [pl.BlockSpec((1, tile), col)] * 3
-        + [pl.BlockSpec((tile, rowY.shape[1]), lambda i, j: (i, 0)),
+        + [pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((tile, rowY.shape[1]), lambda i, j: (i, 0)),
            pl.BlockSpec((tile, ntj), lambda i, j: (j, 0)),
            pl.BlockSpec((1, tile), col),
            pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row)],
         out_specs=[pl.BlockSpec((1, tile), row)] * 3
-        + [pl.BlockSpec((1, npad), full)] * 5,
-        out_shape=[rowshp] * 8,
+        + [pl.BlockSpec((1, nhpad), full)] * 5,
+        out_shape=[rowshp] * 3 + [colshp] * 5,
         interpret=interpret,
     )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
-      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
-      rowY, cols_oh, s_pad[None, :], brw_pad[None, :], bru_pad[None, :])
-    force = (jnp.stack([fx[0], fy[0], fz[0]], axis=1)
-             + jnp.stack([fcx[0], fcy[0], fcz[0]], axis=1))
-    return w[0], u[0], force
+      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
+      rowY, cols_oh_h, s_hpad[None, :], brw_pad[None, :], bru_pad[None, :])
+    force_rows = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
+    force_cols = jnp.stack([fcx[0], fcy[0], fcz[0]], axis=1)
+    return w[0], u[0], force_rows, force_cols

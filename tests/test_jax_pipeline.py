@@ -114,3 +114,18 @@ def test_row_structured_build_matches_flat(gaussvol_system, model_v1):
     assert float(out["energy"]) == float(ref["energy"])
     np.testing.assert_array_equal(np.array(out["force"]),
                                   np.array(ref["force"]))
+
+
+def test_pallas_pair_path_matches_xla(gaussvol_system):
+    """The fused Pallas pair kernels (heavy-packed screener columns,
+    interpret mode on CPU) must match the dense XLA pair phases."""
+    params, pos = gaussvol_system
+    m_xla = AGBNPModel(params, version=1, dtype=np.float32,
+                       positions=np.asarray(pos), pair_kernel=False)
+    m_pal = AGBNPModel(params, version=1, dtype=np.float32,
+                       positions=np.asarray(pos), pair_kernel=True)
+    e0, f0 = m_xla.energy_forces(pos)
+    e1, f1 = m_pal.energy_forces(pos)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert float(abs(e1 - e0)) <= 5e-3   # f32 pair-order rounding
+    assert np.abs(f1 - f0).max() <= 2e-6 * np.abs(f0).max()
