@@ -51,10 +51,11 @@ def half_neighbor_pairs(pos, heavy_mask, rcut: float, kmax: int):
     pair_ok = ((jj[None, :] > jj[:, None])
                & (d2 < rcut * rcut)
                & heavy_mask[:, None] & heavy_mask[None, :])
-    # ascending-j order with invalid slots pushed to the end
-    key = jnp.where(pair_ok, jj[None, :], n)
-    order = jnp.argsort(key, axis=1)[:, :kmax]
-    pj = jnp.take_along_axis(key, order, axis=1)
+    # ascending-j order with invalid slots pushed to the end; the key IS the
+    # neighbor index, so a value sort yields pj directly (no [N, kmax]
+    # take_along_axis gather, which dominated the rebuild cost)
+    key = jnp.where(pair_ok, jj[None, :], n).astype(jnp.int32)
+    pj = jax.lax.sort(key, dimension=1)[:, :kmax]
     valid = pj < n
     pi = jnp.broadcast_to(jj[:, None], (n, kmax))
     pj = jnp.where(valid, pj, pi)
