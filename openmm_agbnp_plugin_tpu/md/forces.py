@@ -67,15 +67,15 @@ def _lj_coulomb(d2, qq, aij, bij, dtype):
     return elj + ecoul
 
 
-def nonbonded_energy(pos, charge, sigma, epsilon, excl_idx,
-                     pair_idx, pair_aij, pair_bij, pair_qij,
-                     cutoff=None):
-    """Full nonbonded energy with OPLS geometric combination rules.
+def dense_nonbonded_energy(pos, charge, sigma, epsilon, cutoff=None,
+                           excl_mask=None):
+    """The dense all-pairs LJ+Coulomb double sum (OPLS geometric rules).
 
-    The all-pairs sum is computed densely and the excluded pairs subtracted
-    exactly (both sides identically masked by the cutoff), matching the
-    truncated-potential semantics of the benchmark setups.
-    """
+    With excl_mask ([N, N] bool, True = excluded), excluded pairs are
+    masked INSIDE the sum rather than subtracted afterwards: subtracting
+    separately-computed exclusion terms leaves f32 cancellation residue of
+    the huge bonded-pair LJ values (~27 kJ/mol and 0.7% forces measured on
+    1li2) while the masked sum matches float64 to ~0.02 kJ/mol."""
     n = pos.shape[0]
     dist = pos[None, :, :] - pos[:, None, :]
     d2 = jnp.sum(dist * dist, axis=-1)
@@ -91,34 +91,22 @@ def nonbonded_energy(pos, charge, sigma, epsilon, excl_idx,
     ecoul = ONE_4PI_EPS0 * charge[:, None] * charge[None, :] / jnp.sqrt(d2s)
 
     mask = ~eye
+    if excl_mask is not None:
+        mask = mask & ~excl_mask
     if cutoff is not None:
         mask = mask & (d2s < cutoff * cutoff)
-    e_all = 0.5 * jnp.sum(jnp.where(mask, elj + ecoul, 0.0))
+    return 0.5 * jnp.sum(jnp.where(mask, elj + ecoul, 0.0))
 
-    # subtract exclusions (identically masked)
-    ei, ej = excl_idx[:, 0], excl_idx[:, 1]
-    dx = pos[ej] - pos[ei]
-    d2e = jnp.sum(dx * dx, axis=-1)
-    sr2e = sigma[ei] * sigma[ej] / d2e
-    sr6e = sr2e ** 3
-    elj_e = 4.0 * jnp.sqrt(epsilon[ei] * epsilon[ej]) * (sr6e * sr6e - sr6e)
-    ecoul_e = ONE_4PI_EPS0 * charge[ei] * charge[ej] / jnp.sqrt(d2e)
-    if cutoff is not None:
-        emask = d2e < cutoff * cutoff
-        e_excl = jnp.sum(jnp.where(emask, elj_e + ecoul_e, 0.0))
-    else:
-        e_excl = jnp.sum(elj_e + ecoul_e)
 
-    # 1-4 scaled pairs (pre-scaled aij/bij/qij from the DMS tables)
+def pair14_energy(pos, pair_idx, pair_aij, pair_bij, pair_qij):
+    """1-4 scaled pair terms (pre-scaled aij/bij/qij from the DMS tables)."""
     pi, pj = pair_idx[:, 0], pair_idx[:, 1]
     dxp = pos[pj] - pos[pi]
     d2p = jnp.sum(dxp * dxp, axis=-1)
     inv2 = 1.0 / d2p
     inv6 = inv2 ** 3
-    e_pair = jnp.sum(pair_aij * inv6 * inv6 - pair_bij * inv6
-                     + ONE_4PI_EPS0 * pair_qij * jnp.sqrt(inv2))
-
-    return e_all - e_excl + e_pair
+    return jnp.sum(pair_aij * inv6 * inv6 - pair_bij * inv6
+                   + ONE_4PI_EPS0 * pair_qij * jnp.sqrt(inv2))
 
 
 @dataclasses.dataclass
@@ -148,17 +136,55 @@ class MMForceField:
             pair_aij=jnp.asarray(dms.pair_aij, dtype),
             pair_bij=jnp.asarray(dms.pair_bij, dtype),
             pair_qij=jnp.asarray(dms.pair_qij, dtype),
+            epsq=jnp.sqrt(jnp.asarray(dms.lj_epsilon, dtype)),
         )
         return MMForceField(arrays=a, cutoff=cutoff)
 
     def energy(self, pos):
         a = self.arrays
+        e = self.energy_bonded_and_14(pos)
+        e += dense_nonbonded_energy(pos, a["charge"], a["sigma"],
+                                    a["epsilon"], cutoff=self.cutoff,
+                                    excl_mask=self._excl_mask())
+        return e
+
+    def _excl_mask(self):
+        if not hasattr(self, "_excl_mask_cache"):
+            ex = np.asarray(self.arrays["excl_idx"])
+            n = int(self.arrays["charge"].shape[0])
+            m = np.zeros((n, n), bool)
+            m[ex[:, 0], ex[:, 1]] = True
+            m[ex[:, 1], ex[:, 0]] = True
+            self._excl_mask_cache = jnp.asarray(m)
+        return self._excl_mask_cache
+
+    def energy_bonded_and_14(self, pos):
+        """Bonded terms + 1-4 pairs — the non-dense part.  Used when the
+        dense LJ/Coulomb sum rides the fused GB pair kernel with in-kernel
+        exclusions (ops/pallas/pairs.py::gb_pair)."""
+        a = self.arrays
         e = bond_energy(pos, a["bond_idx"], a["bond_r0"], a["bond_k"])
         e += angle_energy(pos, a["angle_idx"], a["angle_theta0"], a["angle_k"])
         e += dihedral_energy(pos, a["dihedral_idx"], a["dihedral_phi0"],
                              a["dihedral_fc"])
-        e += nonbonded_energy(pos, a["charge"], a["sigma"], a["epsilon"],
-                              a["excl_idx"], a["pair_idx"], a["pair_aij"],
-                              a["pair_bij"], a["pair_qij"],
-                              cutoff=self.cutoff)
+        e += pair14_energy(pos, a["pair_idx"], a["pair_aij"],
+                           a["pair_bij"], a["pair_qij"])
         return e
+
+    def excl_rows(self, max_excl: int | None = None):
+        """Per-atom exclusion lists [N, E] (int32, -1 padded) for the
+        in-kernel exclusion test of the fused pair sweep."""
+        ex = np.asarray(self.arrays["excl_idx"])
+        n = int(self.arrays["charge"].shape[0])
+        lists = [[] for _ in range(n)]
+        for i, j in ex:
+            lists[int(i)].append(int(j))
+            lists[int(j)].append(int(i))
+        e = max(len(l) for l in lists) if lists else 0
+        if max_excl is None:
+            max_excl = max(8, (e + 7) // 8 * 8)
+        assert e <= max_excl, (e, max_excl)
+        out = np.full((n, max_excl), -1, np.int32)
+        for i, l in enumerate(lists):
+            out[i, :len(l)] = l
+        return out

@@ -101,7 +101,8 @@ class Simulation:
             lvl1, pi, pj, pairs_valid=pv)
         m.ensure_tree_windows(topology=_T.tree_topology(levels))
 
-    def _agbnp_force(self, pos, pairs=None, topology=None, sweep=None):
+    def _agbnp_force(self, pos, pairs=None, topology=None, sweep=None,
+                     mm_nb=None):
         a = self.agbnp.arrays
         if pairs is not None:
             a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
@@ -118,22 +119,42 @@ class Simulation:
                             sweep=sweep,
                             tree_windows=self.agbnp.tree_windows,
                             tree_npad=self.agbnp.tree_npad,
-                            tree_interpret=self.agbnp.tree_interpret)
-        return out["energy"], out["force"], out["diag"]["counts"]
+                            tree_interpret=self.agbnp.tree_interpret,
+                            mm_nb=mm_nb)
+        energy = out["energy"]
+        e_mm_nb = out["details"].get("e_mm_nb")
+        if e_mm_nb is not None:
+            energy = energy + e_mm_nb
+        return energy, out["force"], out["diag"]["counts"]
 
     def force_fn(self, pairs=None, topology=None, sweep=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
-        in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634)."""
+        in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
+
+        With the Pallas pair kernels active (AGBNP version 1), the MM dense
+        LJ/Coulomb sum and its forces ride the fused GB sweep; only the
+        bonded terms and exclusion/1-4 corrections go through autodiff."""
         from .vsites import project_positions, spread_forces
+
+        fuse_mm = (self.mm is not None and self.agbnp.pair_kernel
+                   and self.agbnp.version == 1)
+        mm_nb = None
+        if fuse_mm:
+            import jax.numpy as _jnp
+            mm_nb = dict(sigma=self.mm.arrays["sigma"],
+                         epsq=self.mm.arrays["epsq"],
+                         excl_rows=_jnp.asarray(self.mm.excl_rows()))
 
         def fn(pos):
             if self.vsites is not None:
                 pos = project_positions(pos, self.vsites)
             energy, force, counts = self._agbnp_force(pos, pairs, topology,
-                                                      sweep)
+                                                      sweep, mm_nb=mm_nb)
             if self.mm is not None:
-                e_mm, g_mm = jax.value_and_grad(self.mm.energy)(pos)
+                mm_e = (self.mm.energy_bonded_and_14 if fuse_mm
+                        else self.mm.energy)
+                e_mm, g_mm = jax.value_and_grad(mm_e)(pos)
                 energy = energy + e_mm
                 force = force - g_mm
             if self.vsites is not None:

@@ -31,13 +31,37 @@ from .i4_tables import I4LookupTables
 from .oracle import AGBNPParams
 
 
+def _morton_order(pos, idx):
+    """Order the atom subset idx by a 3D Morton (Z-curve) code of their
+    positions: spatially adjacent atoms land in adjacent packed columns, so
+    the pair kernels' out-of-2nm-range tile skip fires on far more tiles."""
+    q = np.asarray(pos)[idx]
+    q = q - q.min(axis=0)
+    span = max(float(q.max()), 1e-9)
+    cells = np.minimum((q / span * 1023).astype(np.uint64), 1023)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    code = (spread(cells[:, 0]) | (spread(cells[:, 1]) << np.uint64(1))
+            | (spread(cells[:, 2]) << np.uint64(2)))
+    return idx[np.argsort(code, kind="stable")]
+
+
 def prepare_arrays(params: AGBNPParams, dtype=np.float64,
-                   pairs: tuple | None = None, pair_pad: int = 0) -> dict:
+                   pairs: tuple | None = None, pair_pad: int = 0,
+                   positions=None) -> dict:
     """Build the pytree of parameter/table arrays consumed by the pipeline.
 
     pairs: optional (i, j) candidate 2-body pairs; defaults to all i<j.
     pair_pad: if > 0, also prepare the padded row-contracted spline tables
-    consumed by the fused Pallas pair kernels (ops/pallas/pairs.py).
+    consumed by the fused Pallas pair kernels (ops/pallas/pairs.py);
+    positions (initial coordinates) then spatially order the heavy-packed
+    screener columns for tile skipping.
     """
     p = params
     n = p.n
@@ -58,6 +82,8 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         # heavy-packed screener columns for the born/descreening kernels
         # (hydrogens never screen: type -1 / zero self-volume)
         hidx = np.nonzero(np.asarray(p.ishydrogen) == 0)[0]
+        if positions is not None and len(hidx) > 1:
+            hidx = _morton_order(positions, hidx)
         nhpad = pad_to(len(hidx), pick_tile(n))
         hids = np.full(nhpad, -1, np.int32)
         hids[:len(hidx)] = hidx
@@ -173,7 +199,7 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
         return jnp.zeros(n, xh.dtype).at[hclip].add(
             jnp.where(hvalid, xh, 0.0))
 
-    def run(s_factor, radii_vdw, charge, alpha):
+    def run(s_factor, radii_vdw, charge, alpha, mm_nb=None):
         s_h = hpack(s_factor)
         raw = PK.born_sums(pos_pad, pos_hpad, hids, a["rowY_pad"],
                            a["cols_oh_hpad"], s_h,
@@ -183,9 +209,20 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
         filt, fp = B.agbnp_swf_invbr(beta)
         br = 1.0 / filt
 
-        erow, yrow, gbf = PK.gb_pair(pos_pad, a["charge_pad"], padv(br),
-                                     n, tile, box=boxv, cutoff=cutoff,
-                                     interpret=pair_interpret)
+        sig_pad = epsq_pad = excl_pad = None
+        if mm_nb is not None:
+            sig_pad = padv(mm_nb["sigma"])
+            epsq_pad = padv(mm_nb["epsq"])
+            excl_pad = jnp.pad(mm_nb["excl_rows"],
+                               ((0, pair_pad - n), (0, 0)),
+                               constant_values=-1)
+        erow, yrow, gbf, mmrow = PK.gb_pair(pos_pad, a["charge_pad"],
+                                            padv(br),
+                                            n, tile, box=boxv, cutoff=cutoff,
+                                            sig_pad=sig_pad,
+                                            epsq_pad=epsq_pad,
+                                            excl_rows_pad=excl_pad,
+                                            interpret=pair_interpret)
         from ..models.constants import DIELECTRIC_FACTOR
         gb_self = jnp.sum(DIELECTRIC_FACTOR * charge * charge / br)
         gb_pair_e = jnp.sum(erow[:n])
@@ -200,10 +237,13 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
             interpret=pair_interpret)
         swf_cols = jnp.zeros((n, 3), swf_c.dtype).at[hclip].add(
             jnp.where(hvalid[:, None], swf_c, 0.0))
-        return dict(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
-                    born_radius=br,
-                    pair_force=gbf[:n] + swf_r[:n] + swf_cols,
-                    evdw_der_W=hscatter(w_h), egb_der_U=hscatter(u_h))
+        out = dict(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
+                   born_radius=br,
+                   pair_force=gbf[:n] + swf_r[:n] + swf_cols,
+                   evdw_der_W=hscatter(w_h), egb_der_U=hscatter(u_h))
+        if mm_nb is not None:
+            out["e_mm_nb"] = 0.5 * jnp.sum(mmrow[:n])
+        return out
 
     return run
 
@@ -214,7 +254,8 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
                   pair_interpret: bool = False, sweep=None,
                   tree_windows=None, tree_npad: int = 0,
-                  tree_interpret: bool = False, pair_rows: bool = False):
+                  tree_interpret: bool = False, pair_rows: bool = False,
+                  mm_nb=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -249,14 +290,16 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # volume scaling factors (ReferenceAGBNPKernels.cpp:420-430)
     s_factor = self_volume / a["vol_vdw_all"]
 
+    e_mm_nb = None
     if pair_pad > 0:
         pp = _pair_phases_pallas(a, pos, cutoff, box, pair_pad,
                                  pair_interpret)(
-            s_factor, a["radii_vdw"], a["charge"], a["alpha"])
+            s_factor, a["radii_vdw"], a["charge"], a["alpha"], mm_nb=mm_nb)
         gb_self, gb_pair_e, e_vdw = pp["gb_self"], pp["gb_pair"], pp["e_vdw"]
         br = pp["born_radius"]
         pair_force = pp["pair_force"]
         evdw_der_W, egb_der_U = pp["evdw_der_W"], pp["egb_der_U"]
+        e_mm_nb = pp.get("e_mm_nb")
     else:
         accum = jnp.float64 if (mixed and pos.dtype != jnp.float64) else None
         geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
@@ -300,6 +343,11 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
 
     details.update(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
                    born_radius=br, self_volume=self_volume, s_factor=s_factor)
+    if e_mm_nb is not None:
+        # the dense MM LJ/Coulomb sum rode the GB kernel; its forces are
+        # already inside pair_force, its energy is reported separately so
+        # the AGBNP energy stays pure
+        details["e_mm_nb"] = e_mm_nb
     return dict(energy=energy, force=force, diag=diag, details=details)
 
 
@@ -383,7 +431,8 @@ class AGBNPModel:
             pairs = (np.zeros(1, np.int32), np.zeros(1, np.int32),
                      np.zeros(1, bool))  # placeholder; rebuilt on device
         self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs,
-                                     pair_pad=self.pair_pad)
+                                     pair_pad=self.pair_pad,
+                                     positions=positions)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
         if self.tree_kernel:
             from ..ops.pallas import tree_sweep as TS

@@ -45,6 +45,7 @@ from ...models.constants import (
 _NA = AGBNP_I4LOOKUP_NA
 _H = AGBNP_I4LOOKUP_MAXA / (_NA - 1)
 _HP = jax.lax.Precision.HIGHEST
+_KE = 138.935456  # kJ mol^-1 nm e^-2 (Coulomb constant, md/forces.py)
 
 
 def pad_to(n: int, tile: int) -> int:
@@ -216,7 +217,8 @@ def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
 # ---------------------------------------------------------------------------
 
 def _gb_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
-               erow, yrow, fx, fy, fz, *, n, box, cutoff):
+               sgr, sgc, epr, epc, exr,
+               erow, yrow, fx, fy, fz, mmrow, *, n, box, cutoff, with_mm):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ti_ = pxr.shape[1]
@@ -244,6 +246,30 @@ def _gb_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
     mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
     ypart = jnp.sum(qq_f * (bb + 0.25 * d2) * etij * fgb3, axis=1)
 
+    if with_mm:
+        # OPLS LJ (geometric rules) + Coulomb riding the same tile geometry
+        # (the dense sum of md/forces.py).  Excluded pairs are skipped
+        # IN-KERNEL via the per-row exclusion lists: subtracting them
+        # outside (computed by a different op sequence) would leave f32
+        # cancellation residue of the huge bonded-pair LJ terms
+        ex = exr[...]  # [TI, E]
+        excluded = jnp.zeros_like(mask)
+        for e in range(ex.shape[1]):
+            excluded = excluded | (ex[:, e][:, None] == gj)
+        fmm = fm * (~excluded).astype(dt)
+        inv2 = fmm / jnp.where(mask, d2, 1.0)
+        sr2 = (sgr[0][:, None] * sgc[0][None, :]) * inv2
+        sr6 = sr2 * sr2 * sr2
+        epsij = epr[0][:, None] * epc[0][None, :]
+        rinv = fmm * jax.lax.rsqrt(jnp.where(mask, d2, 1.0))
+        ecoul = _KE * qq_f * rinv
+        elj = 4.0 * epsij * (sr6 * sr6 - sr6)
+        mmpart = jnp.sum(elj + ecoul, axis=1)
+        # dE/d(d2) summed once per pair from each row side -> force factor 2
+        dmm = (4.0 * epsij * (-6.0 * sr6 * sr6 + 3.0 * sr6)
+               - 0.5 * ecoul) * inv2
+        mw = mw + 2.0 * dmm
+
     fxp = jnp.sum(dx * mw, axis=1)
     fyp = jnp.sum(dy * mw, axis=1)
     fzp = jnp.sum(dz * mw, axis=1)
@@ -255,6 +281,8 @@ def _gb_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
         fx[0, :] = fxp
         fy[0, :] = fyp
         fz[0, :] = fzp
+        if with_mm:
+            mmrow[0, :] = mmpart
 
     @pl.when(j > 0)
     def _():
@@ -263,41 +291,59 @@ def _gb_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
         fx[0, :] = fx[0, :] + fxp
         fy[0, :] = fy[0, :] + fyp
         fz[0, :] = fz[0, :] + fzp
+        if with_mm:
+            mmrow[0, :] = mmrow[0, :] + mmpart
 
 
 def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,
+            sig_pad=None, epsq_pad=None, excl_rows_pad=None,
             interpret=False):
     """GB pair sweep (reference ReferenceAGBNPKernels.cpp:464-504,
     GBPairEnergy kernel AGBNPGBEnergy.cl:58-383).
 
-    Returns (gb_pair_energy_rows [NP], Y_rows [NP], force [NP, 3]); the row
-    energy sums count each unordered pair twice, matching the reference's
-    2 f_eps qq fgb pair term when summed.
+    Returns (gb_pair_energy_rows [NP], Y_rows [NP], force [NP, 3],
+    mm_rows [NP] or None); the row energy sums count each unordered pair
+    twice, matching the reference's 2 f_eps qq fgb pair term when summed
+    (halve the mm_rows sum for the MM energy).  With sig_pad/epsq_pad
+    (sigma and sqrt(epsilon)), the OPLS dense LJ+Coulomb sum and its forces
+    ride the same sweep.
     """
     npad = pos_pad.shape[1]
     grid = (npad // tile, npad // tile)
     dt = pos_pad.dtype
+    with_mm = sig_pad is not None
     row = lambda i, j: (0, i)
     col = lambda i, j: (0, j)
     shp = jax.ShapeDtypeStruct((1, npad), dt)
-    erow, yrow, fx, fy, fz = pl.pallas_call(
+    if not with_mm:
+        sig_pad = jnp.zeros(npad, dt)
+        epsq_pad = jnp.zeros(npad, dt)
+        excl_rows_pad = jnp.full((npad, 8), -1, jnp.int32)
+    erow, yrow, fx, fy, fz, mmrow = pl.pallas_call(
         functools.partial(_gb_kernel, n=n,
                           box=None if box is None else tuple(box),
-                          cutoff=cutoff),
+                          cutoff=cutoff, with_mm=with_mm),
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile), row)] * 3
         + [pl.BlockSpec((1, tile), col)] * 3
         + [pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
-           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col)],
-        out_specs=[pl.BlockSpec((1, tile), row)] * 5,
-        out_shape=[shp] * 5,
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((tile, excl_rows_pad.shape[1]),
+                        lambda i, j: (i, 0))],
+        out_specs=[pl.BlockSpec((1, tile), row)] * 6,
+        out_shape=[shp] * 6,
         interpret=interpret,
     )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
       pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
       charge_pad[None, :], charge_pad[None, :],
-      born_pad[None, :], born_pad[None, :])
+      born_pad[None, :], born_pad[None, :],
+      sig_pad[None, :], sig_pad[None, :],
+      epsq_pad[None, :], epsq_pad[None, :],
+      excl_rows_pad)
     force = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
-    return erow[0], yrow[0], force
+    return erow[0], yrow[0], force, (mmrow[0] if with_mm else None)
 
 
 # ---------------------------------------------------------------------------
