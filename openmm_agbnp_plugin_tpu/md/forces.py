@@ -118,25 +118,27 @@ class MMForceField:
 
     @staticmethod
     def from_dms(dms, cutoff=None, dtype=np.float64) -> "MMForceField":
+        # host-side numpy throughout: the arrays ride into jit as arguments
+        # (eager jnp conversion costs a round trip per array on remote TPU)
         a = dict(
-            bond_idx=jnp.asarray(dms.bond_idx, jnp.int32),
-            bond_r0=jnp.asarray(dms.bond_r0, dtype),
-            bond_k=jnp.asarray(dms.bond_k, dtype),
-            angle_idx=jnp.asarray(dms.angle_idx, jnp.int32),
-            angle_theta0=jnp.asarray(dms.angle_theta0, dtype),
-            angle_k=jnp.asarray(dms.angle_k, dtype),
-            dihedral_idx=jnp.asarray(dms.dihedral_idx, jnp.int32),
-            dihedral_phi0=jnp.asarray(dms.dihedral_phi0, dtype),
-            dihedral_fc=jnp.asarray(dms.dihedral_fc, dtype),
-            charge=jnp.asarray(dms.charges, dtype),
-            sigma=jnp.asarray(dms.lj_sigma, dtype),
-            epsilon=jnp.asarray(dms.lj_epsilon, dtype),
-            excl_idx=jnp.asarray(dms.exclusions, jnp.int32),
-            pair_idx=jnp.asarray(dms.pair_idx, jnp.int32),
-            pair_aij=jnp.asarray(dms.pair_aij, dtype),
-            pair_bij=jnp.asarray(dms.pair_bij, dtype),
-            pair_qij=jnp.asarray(dms.pair_qij, dtype),
-            epsq=jnp.sqrt(jnp.asarray(dms.lj_epsilon, dtype)),
+            bond_idx=np.asarray(dms.bond_idx, np.int32),
+            bond_r0=np.asarray(dms.bond_r0, dtype),
+            bond_k=np.asarray(dms.bond_k, dtype),
+            angle_idx=np.asarray(dms.angle_idx, np.int32),
+            angle_theta0=np.asarray(dms.angle_theta0, dtype),
+            angle_k=np.asarray(dms.angle_k, dtype),
+            dihedral_idx=np.asarray(dms.dihedral_idx, np.int32),
+            dihedral_phi0=np.asarray(dms.dihedral_phi0, dtype),
+            dihedral_fc=np.asarray(dms.dihedral_fc, dtype),
+            charge=np.asarray(dms.charges, dtype),
+            sigma=np.asarray(dms.lj_sigma, dtype),
+            epsilon=np.asarray(dms.lj_epsilon, dtype),
+            excl_idx=np.asarray(dms.exclusions, np.int32),
+            pair_idx=np.asarray(dms.pair_idx, np.int32),
+            pair_aij=np.asarray(dms.pair_aij, dtype),
+            pair_bij=np.asarray(dms.pair_bij, dtype),
+            pair_qij=np.asarray(dms.pair_qij, dtype),
+            epsq=np.sqrt(np.asarray(dms.lj_epsilon, dtype)),
         )
         return MMForceField(arrays=a, cutoff=cutoff)
 
@@ -155,7 +157,7 @@ class MMForceField:
             m = np.zeros((n, n), bool)
             m[ex[:, 0], ex[:, 1]] = True
             m[ex[:, 1], ex[:, 0]] = True
-            self._excl_mask_cache = jnp.asarray(m)
+            self._excl_mask_cache = m
         return self._excl_mask_cache
 
     def energy_bonded_and_14(self, pos):

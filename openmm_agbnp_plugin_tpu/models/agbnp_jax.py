@@ -68,6 +68,10 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
     tables = I4LookupTables(p.radii_vdw, p.ishydrogen)
     if pairs is None:
         pairs = np.triu_indices(n, 1)
+    # NOTE: everything stays host-side numpy — the arrays dict is a jit
+    # argument, so the transfer happens in one batch at the first call.
+    # Eager per-array jnp.asarray here cost ~2-3 minutes of round trips at
+    # init over a remote-TPU tunnel.
     extra = {}
     if pair_pad > 0:
         from ..ops.pallas.pairs import pad_to, pick_tile, prepare_pair_tables
@@ -75,10 +79,9 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         rowY, cols_oh = prepare_pair_tables(tables.type_screened,
                                             tables.type_screener,
                                             tables.yval, tables.y2val)
-        extra["rowY_pad"] = jnp.asarray(
-            np.pad(rowY, ((0, pair_pad - n), (0, 0))), dtype)
-        extra["charge_pad"] = jnp.asarray(
-            np.pad(np.asarray(p.charge), (0, pair_pad - n)), dtype)
+        extra["rowY_pad"] = np.pad(rowY, ((0, pair_pad - n), (0, 0)))             .astype(dtype)
+        extra["charge_pad"] = np.pad(np.asarray(p.charge),
+                                     (0, pair_pad - n)).astype(dtype)
         # heavy-packed screener columns for the born/descreening kernels
         # (hydrogens never screen: type -1 / zero self-volume)
         hidx = np.nonzero(np.asarray(p.ishydrogen) == 0)[0]
@@ -87,30 +90,30 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         nhpad = pad_to(len(hidx), pick_tile(n))
         hids = np.full(nhpad, -1, np.int32)
         hids[:len(hidx)] = hidx
-        extra["hids_pad"] = jnp.asarray(hids)
-        extra["cols_oh_hpad"] = jnp.asarray(
-            np.pad(cols_oh[hidx], ((0, nhpad - len(hidx)), (0, 0))), dtype)
+        extra["hids_pad"] = hids
+        extra["cols_oh_hpad"] = np.pad(
+            cols_oh[hidx], ((0, nhpad - len(hidx)), (0, 0))).astype(dtype)
     return dict(
         **extra,
-        radii_large=jnp.asarray(p.radii_large, dtype),
-        radii_vdw=jnp.asarray(p.radii_vdw, dtype),
-        gamma=jnp.asarray(p.gamma, dtype),
-        alpha=jnp.asarray(p.alpha, dtype),
-        charge=jnp.asarray(p.charge, dtype),
-        ishydrogen=jnp.asarray(p.ishydrogen, jnp.int32),
-        vol_large=jnp.asarray(
-            np.where(p.ishydrogen > 0, 0.0, sphere_volume(p.radii_large)), dtype),
-        vol_vdw=jnp.asarray(
-            np.where(p.ishydrogen > 0, 0.0, sphere_volume(p.radii_vdw)), dtype),
-        vol_vdw_all=jnp.asarray(sphere_volume(p.radii_vdw), dtype),
-        type_i=jnp.asarray(tables.type_screened, jnp.int32),
-        type_j=jnp.asarray(tables.type_screener, jnp.int32),
-        yflat=jnp.asarray(tables.yval.reshape(-1), dtype),
-        y2flat=jnp.asarray(tables.y2val.reshape(-1), dtype),
-        pairs_i=jnp.asarray(pairs[0], jnp.int32),
-        pairs_j=jnp.asarray(pairs[1], jnp.int32),
-        pairs_valid=(jnp.asarray(pairs[2])
-                     if len(pairs) > 2 else jnp.ones(len(pairs[0]), bool)),
+        radii_large=np.asarray(p.radii_large, dtype),
+        radii_vdw=np.asarray(p.radii_vdw, dtype),
+        gamma=np.asarray(p.gamma, dtype),
+        alpha=np.asarray(p.alpha, dtype),
+        charge=np.asarray(p.charge, dtype),
+        ishydrogen=np.asarray(p.ishydrogen, np.int32),
+        vol_large=np.where(p.ishydrogen > 0, 0.0,
+                           sphere_volume(p.radii_large)).astype(dtype),
+        vol_vdw=np.where(p.ishydrogen > 0, 0.0,
+                         sphere_volume(p.radii_vdw)).astype(dtype),
+        vol_vdw_all=np.asarray(sphere_volume(p.radii_vdw), dtype),
+        type_i=np.asarray(tables.type_screened, np.int32),
+        type_j=np.asarray(tables.type_screener, np.int32),
+        yflat=np.asarray(tables.yval.reshape(-1), dtype),
+        y2flat=np.asarray(tables.y2val.reshape(-1), dtype),
+        pairs_i=np.asarray(pairs[0], np.int32),
+        pairs_j=np.asarray(pairs[1], np.int32),
+        pairs_valid=(np.asarray(pairs[2])
+                     if len(pairs) > 2 else np.ones(len(pairs[0]), bool)),
     )
 
 

@@ -105,3 +105,25 @@ def test_dms_save_roundtrip(tmp_path):
     dms2 = load_dms(dst)
     np.testing.assert_allclose(dms2.positions, newpos, atol=1e-12)
     np.testing.assert_allclose(dms2.velocities, newvel, atol=1e-12)
+
+
+def test_fused_mm_pair_kernel_matches_xla():
+    """MM LJ/Coulomb riding the GB pair kernel (in-kernel exclusions,
+    interpret mode on CPU) must match the XLA dense-mask formulation."""
+    import jax
+    import numpy as np
+
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dms = load_dms(os.path.join(here, "..", "benchmarks", "data",
+                                "trpcage_agbnp1.dms"))
+    pos = np.asarray(dms.positions, np.float32)
+    sim_f = Simulation(dms, version=1, dtype=np.float32, pair_kernel=True)
+    sim_x = Simulation(dms, version=1, dtype=np.float32, pair_kernel=False)
+    e1, f1, _ = jax.jit(sim_f.force_fn())(pos)
+    e0, f0, _ = jax.jit(sim_x.force_fn())(pos)
+    f1, f0 = np.asarray(f1), np.asarray(f0)
+    assert abs(float(e1 - e0)) <= 0.05
+    assert np.abs(f1 - f0).max() <= 2e-6 * np.abs(f0).max()
