@@ -193,6 +193,7 @@ class Simulation:
                     step, (pos, vel, key), length=nsteps)
                 return pos, vel, key, energies, (jnp.max(counts, axis=0),
                                                  jnp.zeros((), jnp.int32),
+                                                 jnp.zeros(7, jnp.int32),
                                                  jnp.zeros(7, jnp.int32))
 
             return run
@@ -208,6 +209,7 @@ class Simulation:
                 topo = None
                 sweep = None
                 build_counts = None
+                sib_max = jnp.zeros(7, jnp.int32)
                 spans = jnp.zeros(7, jnp.int32)
                 if rebuild_topology:
                     from ..ops import tree as _T
@@ -222,6 +224,7 @@ class Simulation:
                                                   pair_rows=True)
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
+                    sib_max = bdiag["max_siblings"]
                     if (self.agbnp.tree_kernel
                             and self.agbnp.tree_windows is not None):
                         from ..ops.pallas import tree_sweep as _TS
@@ -238,13 +241,14 @@ class Simulation:
                 maxcounts = jnp.max(counts, axis=0)
                 if build_counts is not None:
                     maxcounts = jnp.maximum(maxcounts, build_counts)
-                return (pos, vel, key), (energies, maxcounts, nbmax, spans)
+                return (pos, vel, key), (energies, maxcounts, nbmax, spans,
+                                         sib_max)
 
-            (pos, vel, key), (energies, counts, nbmax, spans) = jax.lax.scan(
-                outer, (pos, vel, key), length=nouter)
+            (pos, vel, key), (energies, counts, nbmax, spans, sibs) = \
+                jax.lax.scan(outer, (pos, vel, key), length=nouter)
             return (pos, vel, key, energies.reshape(-1),
                     (jnp.max(counts, axis=0), jnp.max(nbmax),
-                     jnp.max(spans, axis=0)))
+                     jnp.max(spans, axis=0), jnp.max(sibs, axis=0)))
 
         return run
 
@@ -278,13 +282,12 @@ class Simulation:
             out = run(pos, vel, key, nsteps)
             np.asarray(out[0]).ravel()[0:1]  # force full sync through the tunnel
         t0 = time.perf_counter()
-        pos, vel, key, energies, (counts, nbmax, spans) = run(pos, vel, key,
-                                                              nsteps)
+        pos, vel, key, energies, (counts, nbmax, spans, sibs) = run(
+            pos, vel, key, nsteps)
         counts = np.asarray(counts)  # device sync
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
-        overflow = bool((counts > np.asarray(self.agbnp.caps.caps)).any()
-                        or int(nbmax) > self.kmax)
+        overflow = self._check_overflow(counts, nbmax, sibs)
         if self.agbnp.tree_kernel and self.agbnp.tree_windows is not None:
             from ..ops.pallas import tree_sweep as _TS
             overflow = overflow or not _TS.windows_ok(
@@ -293,3 +296,99 @@ class Simulation:
                     final_pos=pos, final_vel=vel, tree_counts_max=counts,
                     neighbor_max=int(nbmax), overflow=overflow,
                     energies=np.asarray(energies))
+
+    def _check_overflow(self, counts, nbmax, sibs) -> bool:
+        caps = np.asarray(self.agbnp.caps.caps)
+        offs = np.asarray(self.agbnp.caps.offs + (0,))
+        sib_over = (np.asarray(sibs) - 1) > offs
+        return bool((np.asarray(counts) > caps).any() or sib_over.any()
+                    or int(nbmax) > self.kmax)
+
+    def _regrow(self, counts, nbmax, sibs, headroom: float = 1.3):
+        """PanicButton resize (reference OpenCLAGBNPKernels.cpp:340-343,
+        3598-3634): rebuild the model with capacities covering the measured
+        maxima plus headroom.  Compiled runners built before this call are
+        stale — rebuild them with make_langevin_runner."""
+        from ..ops.tree import TreeCaps
+
+        old = self.agbnp.caps
+
+        def r(x, align=128):
+            return max(align, int(np.ceil(x / align)) * align)
+
+        # a truncated level hides its children, so measured counts
+        # underestimate deeper levels: overflowed levels at least double
+        # (the reference's tree_size_boost x2) for geometric convergence
+        counts = np.asarray(counts)
+        caps = tuple(max(c0, 2 * c0 if int(c) > c0 else c0,
+                         r(int(c) * headroom))
+                     for c0, c in zip(old.caps, counts))
+        sibs = np.asarray(sibs)
+        offs = tuple(max(o0, 2 * o0 if int(sb) - 1 > o0 else o0,
+                         int(np.ceil(max(int(sb) - 1, 1) * headroom)))
+                     for o0, sb in zip(old.offs, sibs[:-1]))
+        if int(nbmax) > self.kmax:
+            self.kmax = int(np.ceil(int(nbmax) * 1.5 / 16) * 16)
+        m = self.agbnp
+        self.agbnp = AGBNPModel(m.params, caps=TreeCaps(caps=caps, offs=offs),
+                                version=m.version, cutoff=m.cutoff,
+                                dtype=self.dtype, mixed=m.mixed,
+                                positions=np.asarray(self.dms.positions),
+                                pair_kernel=m.pair_kernel,
+                                tree_kernel=m.tree_kernel)
+
+    def run_md(self, nsteps, dt=0.001, temperature=300.0, friction=1.0,
+               seed=0, neighbor_every: int = 20, segment: int | None = None,
+               max_regrow: int = 8, pos=None, vel=None):
+        """Langevin MD with automatic PanicButton recovery.
+
+        Runs in segments; when a segment overflowed the overlap-tree
+        capacities, the sibling windows, or the neighbor list, its results
+        are discarded (forces invalid), the capacities are regrown from the
+        measured maxima, the step function is recompiled, and the segment is
+        retried from its starting state — the MD-loop equivalent of the
+        reference's PanicButton protocol (device flag -> setForcesValid
+        (false) -> buffer resize -> OpenMM retries the step,
+        OpenCLAGBNPKernels.cpp:3598-3634).  Returns the same dict as
+        benchmark_langevin plus 'regrows'.
+        """
+        if segment is None:
+            segment = min(nsteps, 50 * neighbor_every)
+        segment -= segment % neighbor_every or 0
+        assert segment > 0 and nsteps % neighbor_every == 0
+
+        run = self.make_langevin_runner(dt, temperature, friction,
+                                        neighbor_every=neighbor_every)
+        key = jax.random.PRNGKey(seed)
+        pos = self.positions if pos is None else pos
+        vel = self.velocities if vel is None else vel
+        energies = []
+        done = 0
+        regrows = 0
+        t0 = time.perf_counter()
+        while done < nsteps:
+            n = min(segment, nsteps - done)
+            n -= n % neighbor_every
+            new_pos, new_vel, new_key, e, (counts, nbmax, spans, sibs) = \
+                run(pos, vel, key, n)
+            counts = np.asarray(counts)  # sync
+            if self._check_overflow(counts, nbmax, sibs):
+                if regrows >= max_regrow:
+                    raise RuntimeError(
+                        "overlap-tree capacities failed to converge after "
+                        f"{max_regrow} regrows")
+                regrows += 1
+                self._regrow(counts, nbmax, sibs)
+                run = self.make_langevin_runner(dt, temperature, friction,
+                                                neighbor_every=neighbor_every)
+                continue  # retry the segment from (pos, vel, key)
+            pos, vel, key = new_pos, new_vel, new_key
+            energies.append(np.asarray(e))
+            done += n
+        elapsed = time.perf_counter() - t0
+        return dict(ns_day=nsteps * dt * 1e-3 / elapsed * 86400.0,
+                    elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
+                    final_pos=pos, final_vel=vel, regrows=regrows,
+                    energies=np.concatenate(energies),
+                    tree_counts_max=counts, neighbor_max=int(nbmax),
+                    overflow=False)

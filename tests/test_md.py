@@ -127,3 +127,33 @@ def test_fused_mm_pair_kernel_matches_xla():
     f1, f0 = np.asarray(f1), np.asarray(f0)
     assert abs(float(e1 - e0)) <= 0.05
     assert np.abs(f1 - f0).max() <= 2e-6 * np.abs(f0).max()
+
+
+def test_run_md_panic_button_regrow():
+    """run_md with deliberately undersized tree capacities must detect the
+    overflow, regrow, retry the segment, and land on the exact same
+    trajectory as a well-sized run (capacities never change values, only
+    whether they fit)."""
+    import jax
+    import numpy as np
+
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+    from openmm_agbnp_plugin_tpu.ops.tree import TreeCaps
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dms = load_dms(os.path.join(here, "..", "benchmarks", "data",
+                                "trpcage_agbnp1.dms"))
+
+    ok_sim = Simulation(dms, version=1, dtype=np.float64)
+    ref = ok_sim.run_md(40, dt=0.001, neighbor_every=20, seed=3)
+    assert ref["regrows"] == 0
+
+    tiny = TreeCaps(caps=(256, 256, 256, 256, 128, 128, 128),
+                    offs=(8, 8, 8, 8, 4, 4))
+    small_sim = Simulation(dms, version=1, dtype=np.float64, caps=tiny)
+    out = small_sim.run_md(40, dt=0.001, neighbor_every=20, seed=3)
+    assert out["regrows"] >= 1
+    np.testing.assert_allclose(np.asarray(out["final_pos"]),
+                               np.asarray(ref["final_pos"]), atol=1e-12)
+    np.testing.assert_allclose(out["energies"], ref["energies"], atol=1e-9)
