@@ -49,20 +49,38 @@ class Simulation:
                  caps_boost: float = 1.25):
         self.dms = dms
         self.dtype = dtype
+        self.version = version
         self.vsites = vsites.arrays(dtype) if vsites is not None and             getattr(vsites, "count", 0) > 0 else None
         params = AGBNPParams(radius=dms.agbnp_radius, gamma=dms.agbnp_gamma,
                              alpha=dms.agbnp_alpha, charge=dms.charges,
                              ishydrogen=dms.ishydrogen)
-        # MD runs with tighter tree-capacity headroom than the one-shot API
-        # (counts drift slowly at equilibrium and overflow is detected, so a
-        # lean pad buys ~10-20% step time; the PanicButton grow path covers
-        # the tail)
-        self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
-                                dtype=dtype, caps=caps, pairs=pairs,
-                                positions=dms.positions, mixed=mixed,
-                                pair_kernel=pair_kernel,
-                                tree_kernel=tree_kernel,
-                                caps_boost=caps_boost)
+        self.agbnp2 = None
+        if version == 2:
+            # AGBNP2 MD: JAX energy + autodiff forces, MS candidate pairs
+            # rebuilt on device each evaluation (the reference's v2 cannot
+            # run MD — its hand force chain is WIP)
+            from ..models.agbnp2_jax import AGBNP2Model, ms_pair_cutoff
+
+            self.agbnp2 = AGBNP2Model(params, dtype=dtype,
+                                      positions=np.asarray(dms.positions),
+                                      cutoff=cutoff)
+            self.agbnp = self.agbnp2  # caps/params access for shared paths
+            self.ms_rcut = ms_pair_cutoff(params.radii_vdw)
+            heavy_np = np.asarray(params.ishydrogen) == 0
+            seen = _host_max_neighbors(np.asarray(dms.positions), heavy_np,
+                                       self.ms_rcut)
+            self.ms_kmax_list = int(np.ceil(seen * 1.5 / 16) * 16)
+        else:
+            # MD runs with tighter tree-capacity headroom than the one-shot
+            # API (counts drift slowly at equilibrium and overflow is
+            # detected, so a lean pad buys ~10-20% step time; the
+            # PanicButton grow path covers the tail)
+            self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
+                                    dtype=dtype, caps=caps, pairs=pairs,
+                                    positions=dms.positions, mixed=mixed,
+                                    pair_kernel=pair_kernel,
+                                    tree_kernel=tree_kernel,
+                                    caps_boost=caps_boost)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)
@@ -79,7 +97,7 @@ class Simulation:
             kmax = int(np.ceil(seen * 1.5 / 16) * 16)
         self.kmax = kmax
         self.heavy_mask = jnp.asarray(heavy)
-        if self.agbnp.tree_kernel:
+        if self.agbnp2 is None and self.agbnp.tree_kernel:
             self._init_tree_windows()
 
     def _init_tree_windows(self):
@@ -137,6 +155,9 @@ class Simulation:
         bonded terms and exclusion/1-4 corrections go through autodiff."""
         from .vsites import project_positions, spread_forces
 
+        if self.agbnp2 is not None:
+            return self._force_fn_v2()
+
         fuse_mm = (self.mm is not None and self.agbnp.pair_kernel
                    and self.agbnp.version == 1)
         mm_nb = None
@@ -155,6 +176,45 @@ class Simulation:
                 mm_e = (self.mm.energy_bonded_and_14 if fuse_mm
                         else self.mm.energy)
                 e_mm, g_mm = jax.value_and_grad(mm_e)(pos)
+                energy = energy + e_mm
+                force = force - g_mm
+            if self.vsites is not None:
+                force = spread_forces(force, self.vsites)
+            return energy, force, counts
+        return fn
+
+    def _force_fn_v2(self):
+        """AGBNP2 force function: on-device MS candidate rebuild + jitted
+        energy with autodiff forces (models/agbnp2_jax.py), plus the MM
+        force field."""
+        from ..models.agbnp2_jax import agbnp2_energy
+        from .vsites import project_positions, spread_forces
+
+        m2 = self.agbnp2
+        heavy = self.heavy_mask
+        ms_rcut = self.ms_rcut
+        ms_kmax_list = self.ms_kmax_list
+
+        def e_only(pos):
+            # numpy-hosted param arrays become trace-time constants here
+            # (indexing them with tracers directly would fail)
+            a2 = {k: jnp.asarray(v) for k, v in m2.arrays.items()}
+            mpi, mpj, mpv, _ = half_neighbor_pairs(pos, heavy, ms_rcut,
+                                                   ms_kmax_list)
+            e, diags, details = agbnp2_energy(
+                a2, pos, m2.caps, m2.caps_ms, m2.params.roffset,
+                m2.ntypes_j, mpi, mpj, mpv, m2.cap_ms, m2.ms_kmax,
+                m2.common_gamma, cutoff=m2.cutoff)
+            return e, diags[0]["counts"]
+
+        def fn(pos):
+            if self.vsites is not None:
+                pos = project_positions(pos, self.vsites)
+            (energy, counts), grad = jax.value_and_grad(
+                e_only, has_aux=True)(pos)
+            force = -grad
+            if self.mm is not None:
+                e_mm, g_mm = jax.value_and_grad(self.mm.energy)(pos)
                 energy = energy + e_mm
                 force = force - g_mm
             if self.vsites is not None:
@@ -182,6 +242,9 @@ class Simulation:
         """
         masses, rcut, kmax = self.masses, self.rcut_list, self.kmax
         heavy = self.heavy_mask
+
+        if self.agbnp2 is not None:
+            neighbor_every = 0  # v2 rebuilds everything per step
 
         if neighbor_every <= 0:
             step = langevin_middle_step(self.force_fn(), masses, dt,
@@ -288,7 +351,8 @@ class Simulation:
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
         overflow = self._check_overflow(counts, nbmax, sibs)
-        if self.agbnp.tree_kernel and self.agbnp.tree_windows is not None:
+        if (getattr(self.agbnp, "tree_kernel", False)
+                and self.agbnp.tree_windows is not None):
             from ..ops.pallas import tree_sweep as _TS
             overflow = overflow or not _TS.windows_ok(
                 np.asarray(spans), self.agbnp.tree_windows)
@@ -352,6 +416,8 @@ class Simulation:
         OpenCLAGBNPKernels.cpp:3598-3634).  Returns the same dict as
         benchmark_langevin plus 'regrows'.
         """
+        if self.agbnp2 is not None:
+            max_regrow = 0  # v2: fixed capacities (no regrow path yet)
         if segment is None:
             segment = min(nsteps, 50 * neighbor_every)
         segment -= segment % neighbor_every or 0

@@ -7,6 +7,8 @@ strategy: finite-difference checks of the analytic forces
 sanity of the MS-particle stage.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -89,3 +91,31 @@ def test_agbnp2_jax_matches_oracle(small_system):
     em = float(m.energy_forces(pos - d)[0])
     pred = -2.0 * np.sum(np.asarray(f) * d)
     assert (ep - em) == pytest.approx(pred, rel=1e-4)
+
+
+def test_agbnp2_md_smoke(gaussvol_system):
+    """AGBNP2 MD: Simulation(version=2) runs a few Langevin steps with
+    finite energies, and its force at the initial configuration matches the
+    one-shot AGBNP2Model evaluation (same energy function)."""
+    import jax
+    import numpy as np
+
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dms = load_dms(os.path.join(here, "..", "benchmarks", "data",
+                                "trpcage_agbnp1.dms"))
+    sim = Simulation(dms, version=2, dtype=np.float64)
+    e, f, counts = jax.jit(sim.force_fn())(sim.positions)
+    e2, f2 = sim.agbnp2.energy_forces(np.asarray(sim.positions))
+    if sim.mm is not None:
+        e_mm, g_mm = jax.value_and_grad(sim.mm.energy)(sim.positions)
+        e2 = e2 + e_mm
+        f2 = f2 - g_mm
+    assert abs(float(e - e2)) < 1e-6
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f2), atol=1e-8)
+
+    res = sim.benchmark_langevin(nsteps=4, dt=0.0005, warmup=False,
+                                 neighbor_every=0)
+    assert np.isfinite(res["energies"]).all()
