@@ -49,7 +49,9 @@ def main():
     platform = jax.devices()[0].platform
     dtype = np.float32 if platform != "cpu" else np.float64
 
-    sim = Simulation(dms, version=1, cutoff=None, dtype=dtype, skin=0.25)
+    # CutoffNonPeriodic 1 nm: the reference benchmark configuration for this
+    # system (example/t4lysozyme_benchmark.py:14-16)
+    sim = Simulation(dms, version=1, cutoff=1.0, dtype=dtype, skin=0.25)
     res = sim.benchmark_langevin(nsteps=NSTEPS, dt=0.001, temperature=300.0,
                                  friction=1.0, neighbor_every=20)
 
