@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SYSTEMS = ["trpcage_agbnp1", "1li2_agbnp1", "1dwc_agbnp1", "2clr_agbnp1",
            "rnaseh_agbnp1"]
 
+# reference benchmark configurations (example/*_benchmark.py:10-19):
+# trpcage NoCutoff, the rest CutoffNonPeriodic 1 nm
+CUTOFFS = {"trpcage_agbnp1": None, "1li2_agbnp1": 1.0, "1dwc_agbnp1": 1.0,
+           "2clr_agbnp1": 1.0, "rnaseh_agbnp1": 1.0}
+
 
 def run_one(name, steps, dtype, out_dms=None):
     import numpy as np
@@ -32,7 +37,8 @@ def run_one(name, steps, dtype, out_dms=None):
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "data", f"{name}.dms")
     dms = load_dms(path)
-    sim = Simulation(dms, version=1, dtype=dtype, skin=0.25)
+    sim = Simulation(dms, version=1, cutoff=CUTOFFS.get(name), dtype=dtype,
+                     skin=0.25)
     res = sim.benchmark_langevin(nsteps=steps, dt=0.001, temperature=300.0,
                                  friction=1.0, neighbor_every=20)
     print(json.dumps(dict(system=name, natoms=dms.n, steps=steps,
