@@ -49,30 +49,87 @@ class ReplicaEnsemble:
         return jax.tree.map(lambda x: jax.device_put(x, self.rep_sharding),
                             states)
 
-    def make_runner(self, dt=0.001, temperature=300.0, friction=1.0):
-        """run(states, nsteps) -> (states, energies [R, nsteps])."""
-        step = langevin_middle_step(self.sim.force_fn(), self.sim.masses, dt,
-                                    temperature, friction)
+    def make_runner(self, dt=0.001, temperature=300.0, friction=1.0,
+                    neighbor_every: int = 20):
+        """run(states, nsteps) -> (states, energies [R, nsteps]).
 
-        def replica_run(state, nsteps):
-            (pos, vel, key), outs = jax.lax.scan(step, state, length=nsteps)
-            return (pos, vel, key), outs[0]
+        With neighbor_every > 0 each replica rebuilds its own neighbor list
+        and overlap-tree topology every `neighbor_every` steps and runs the
+        fixed-topology volume rescan in between — the vmapped analogue of
+        Simulation.make_langevin_runner's stale-topology window, which is
+        what makes batched replicas pay roughly one replica's build cost
+        per window instead of one per step."""
+        sim = self.sim
 
-        vrun = jax.vmap(replica_run, in_axes=(0, None))
+        if neighbor_every <= 0:
+            step = langevin_middle_step(sim.force_fn(), sim.masses, dt,
+                                        temperature, friction)
+
+            def replica_run(state, nsteps):
+                (pos, vel, key), outs = jax.lax.scan(step, state,
+                                                     length=nsteps)
+                return (pos, vel, key), outs[0]
+
+            vrun = jax.vmap(replica_run, in_axes=(0, None))
+
+            @partial(jax.jit, static_argnames=("nsteps",),
+                     in_shardings=(self.rep_sharding,),
+                     out_shardings=(self.rep_sharding, self.rep_sharding))
+            def run(states, nsteps: int):
+                return vrun(states, nsteps)
+
+            return run
+
+        from ..md.simulation import half_neighbor_pairs
+        from ..ops import tree as _T
+
+        heavy, rcut, kmax = sim.heavy_mask, sim.rcut_list, sim.kmax
+        a = sim.agbnp.arrays
+        gdr = a["gamma"] / sim.agbnp.params.roffset
+
+        def outer(carry, _, ninner):
+            pos, vel, key = carry
+            pi, pj, pv, _ = half_neighbor_pairs(pos, heavy, rcut, kmax)
+            lvl1 = _T.make_level1(pos, jnp.asarray(a["radii_large"]),
+                                  jnp.asarray(a["vol_large"]),
+                                  jnp.asarray(gdr),
+                                  jnp.asarray(a["ishydrogen"]))
+            levels, bdiag = _T.build_tree(lvl1, pi, pj, sim.agbnp.caps,
+                                          pairs_valid=pv, pair_rows=True)
+            topo = _T.tree_topology(levels)
+            inner = langevin_middle_step(
+                sim.force_fn(pairs=(pi, pj, pv), topology=topo),
+                sim.masses, dt, temperature, friction)
+            (pos, vel, key), (energies, counts) = jax.lax.scan(
+                inner, (pos, vel, key), length=ninner)
+            return (pos, vel, key), energies
+
+        def replica_run(state, nouter, ninner):
+            state, energies = jax.lax.scan(partial(outer, ninner=ninner),
+                                           state, length=nouter)
+            return state, energies.reshape(-1)
+
+        vrun = jax.vmap(replica_run, in_axes=(0, None, None))
 
         @partial(jax.jit, static_argnames=("nsteps",),
                  in_shardings=(self.rep_sharding,),
                  out_shardings=(self.rep_sharding, self.rep_sharding))
         def run(states, nsteps: int):
-            return vrun(states, nsteps)
+            ne = neighbor_every if nsteps >= neighbor_every else nsteps
+            nouter, rem = divmod(nsteps, ne)
+            assert rem == 0, "nsteps must be a multiple of neighbor_every"
+            return vrun(states, nouter, ne)
 
         return run
 
     def benchmark(self, nsteps=100, dt=0.001, temperature=300.0,
-                  friction=1.0, jitter=1e-3):
-        run = self.make_runner(dt, temperature, friction)
+                  friction=1.0, jitter=1e-3, neighbor_every: int = 20):
+        run = self.make_runner(dt, temperature, friction,
+                               neighbor_every=neighbor_every)
         states = self.initial_states(jitter=jitter)
-        out = run(states, max(1, nsteps // 10))
+        # warm with the SAME static nsteps so the timed call reuses the
+        # compiled executable
+        out = run(states, nsteps)
         np.asarray(out[1]).ravel()[:1]  # sync
         t0 = time.perf_counter()
         states, energies = run(states, nsteps)
