@@ -399,9 +399,10 @@ class AGBNPModel:
         # TPU runtime both the XLA gather path and the banded kernels are
         # bound by the same per-row / per-grid-step latency floor, so the
         # sweep is kept as a validated alternative backend rather than the
-        # default (see benchmarks/RESULTS.md).  Window plans are sized
-        # lazily by the MD layer (ensure_tree_windows) from a built
-        # topology.
+        # default (see benchmarks/RESULTS.md); above ~5k atoms its
+        # span-sized window blocks also exceed the 16 MB scoped-VMEM limit
+        # (2clr fails to compile).  Window plans are sized lazily by the MD
+        # layer (ensure_tree_windows) from a built topology.
         if tree_kernel is None:
             tree_kernel = False
         self.tree_kernel = bool(tree_kernel)
