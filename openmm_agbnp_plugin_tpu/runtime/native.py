@@ -136,8 +136,11 @@ def size_tree_caps(params, pos, boost: float = 1.6, align: int = 128):
 
     caps = tuple(r(counts[k] * boost) for k in range(2, 9))
     # offs[l] is the sibling window used to pair level-(l+2) nodes; it must
-    # cover the largest sibling group at that level (minus one), with the
-    # same headroom as the capacities
-    offs = tuple(int(max(4, np.ceil(max(sibs[k] - 1, 1) * boost)))
+    # cover the largest sibling group at that level (minus one).  Windows
+    # only widen the (rebuild-amortized) candidate grids, and equilibrium
+    # sibling-group maxima fluctuate proportionally more than level counts
+    # on small systems, so they always get at least 1.6x headroom
+    offs_boost = max(boost, 1.6)
+    offs = tuple(int(max(4, np.ceil(max(sibs[k] - 1, 1) * offs_boost)))
                  for k in range(2, 8))
     return TreeCaps(caps=caps, offs=offs)
