@@ -58,7 +58,8 @@ def main():
     key = jax.random.PRNGKey(0)
     vel = jnp.zeros_like(pos)
     t0 = time.perf_counter()
-    pos, vel, key, energies, (counts, nbmax, _) = run(pos, vel, key, 10000)
+    pos, vel, key, energies, (counts, nbmax, *_rest) = run(pos, vel, key,
+                                                           10000)
     jax.block_until_ready(pos)
     lang_s = time.perf_counter() - t0
     print(f"Langevin 10000 x 0.5 fs: {lang_s:.1f} s "

@@ -350,23 +350,27 @@ class Simulation:
         counts = np.asarray(counts)  # device sync
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
-        overflow = self._check_overflow(counts, nbmax, sibs)
-        if (getattr(self.agbnp, "tree_kernel", False)
-                and self.agbnp.tree_windows is not None):
-            from ..ops.pallas import tree_sweep as _TS
-            overflow = overflow or not _TS.windows_ok(
-                np.asarray(spans), self.agbnp.tree_windows)
+        overflow = self._check_overflow(counts, nbmax, sibs, spans)
         return dict(ns_day=ns_day, elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
                     final_pos=pos, final_vel=vel, tree_counts_max=counts,
                     neighbor_max=int(nbmax), overflow=overflow,
                     energies=np.asarray(energies))
 
-    def _check_overflow(self, counts, nbmax, sibs) -> bool:
+    def _check_overflow(self, counts, nbmax, sibs, spans=None) -> bool:
         caps = np.asarray(self.agbnp.caps.caps)
-        offs = np.asarray(self.agbnp.caps.offs + (0,))
-        sib_over = (np.asarray(sibs) - 1) > offs
-        return bool((np.asarray(counts) > caps).any() or sib_over.any()
+        offs = np.asarray(self.agbnp.caps.offs)
+        # the deepest level's sibling groups are never enumerated further
+        # (MAX_ORDER truncation, reference gaussvol.cpp:211), so only the
+        # windows that actually generate children can overflow
+        sib_over = (np.asarray(sibs)[: len(offs)] - 1) > offs
+        over = bool((np.asarray(counts) > caps).any() or sib_over.any()
                     or int(nbmax) > self.kmax)
+        if (spans is not None and getattr(self.agbnp, "tree_kernel", False)
+                and self.agbnp.tree_windows is not None):
+            from ..ops.pallas import tree_sweep as _TS
+            over = over or not _TS.windows_ok(np.asarray(spans),
+                                              self.agbnp.tree_windows)
+        return over
 
     def _regrow(self, counts, nbmax, sibs, headroom: float = 1.3):
         """PanicButton resize (reference OpenCLAGBNPKernels.cpp:340-343,
@@ -400,6 +404,11 @@ class Simulation:
                                 positions=np.asarray(self.dms.positions),
                                 pair_kernel=m.pair_kernel,
                                 tree_kernel=m.tree_kernel)
+        if self.agbnp.tree_kernel:
+            # the banded window plan is sized from a built topology; without
+            # this the regrown model would silently run with tree_windows
+            # None (tree kernel disabled)
+            self._init_tree_windows()
 
     def run_md(self, nsteps, dt=0.001, temperature=300.0, friction=1.0,
                seed=0, neighbor_every: int = 20, segment: int | None = None,
@@ -438,7 +447,7 @@ class Simulation:
             new_pos, new_vel, new_key, e, (counts, nbmax, spans, sibs) = \
                 run(pos, vel, key, n)
             counts = np.asarray(counts)  # sync
-            if self._check_overflow(counts, nbmax, sibs):
+            if self._check_overflow(counts, nbmax, sibs, spans):
                 if regrows >= max_regrow:
                     raise RuntimeError(
                         "overlap-tree capacities failed to converge after "

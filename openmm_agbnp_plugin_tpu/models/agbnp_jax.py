@@ -258,7 +258,7 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   pair_interpret: bool = False, sweep=None,
                   tree_windows=None, tree_npad: int = 0,
                   tree_interpret: bool = False, pair_rows: bool = False,
-                  mm_nb=None):
+                  mm_nb=None, pair_shard=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -303,6 +303,14 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
         pair_force = pp["pair_force"]
         evdw_der_W, egb_der_U = pp["evdw_der_W"], pp["egb_der_U"]
         e_mm_nb = pp.get("e_mm_nb")
+    elif pair_shard is not None:
+        # multi-chip: the pair phases row-sharded over the atoms mesh axis
+        # (parallel/sharding.py::sharded_pair_phases)
+        pp = pair_shard(pos, s_factor)
+        gb_self, gb_pair_e, e_vdw = pp["gb_self"], pp["gb_pair"], pp["e_vdw"]
+        br = pp["born_radius"]
+        pair_force = pp["pair_force"]
+        evdw_der_W, egb_der_U = pp["evdw_der_W"], pp["egb_der_U"]
     else:
         accum = jnp.float64 if (mixed and pos.dtype != jnp.float64) else None
         geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],

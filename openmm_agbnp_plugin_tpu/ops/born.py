@@ -219,6 +219,105 @@ def gb_energy(pos, charge, born_radius, geom, cutoff=None,
                 egb_der_Y=egb_der_Y)
 
 
+def pair_phases_rows(pos_blk, row_ids, pos, radii_vdw_blk, s_factor,
+                     ishydrogen, type_i_blk, type_j, yflat, y2flat,
+                     ntypes_j, charge_blk, charge, alpha_blk, cutoff=None,
+                     box=None, psum=lambda x: x, all_gather=lambda x: x):
+    """All four pair phases (Born radii -> GB -> vdW -> descreening) for a
+    row block of screened atoms against all screeners — the decomposition
+    unit for multi-chip atom sharding.
+
+    The `_blk` arrays hold this device's rows (global indices `row_ids`);
+    everything else is replicated.  `psum` reduces partial sums that need
+    contributions from every row block (scalar energies, the W/U screener
+    accumulators, screener-side forces); `all_gather` turns the row-sharded
+    Born radii into the full vector the GB pair term needs.  With the
+    identity defaults and a full row block this reproduces the dense
+    single-device path (ops tested equal to 1e-12), which is exactly the
+    property the sharded path is validated against.
+
+    This is the shard_map analogue of the reference's warp-tile pair sweeps
+    (reference AGBNPBornRadii.cl:181-490, AGBNPGBEnergy.cl:58-383,
+    AGBNPBornRadii.cl:872-1280): the tile rows become row blocks on chips
+    and the fixed-point atomic accumulations become psums over ICI.
+
+    Returns dict(gb_self, gb_pair, e_vdw [replicated scalars],
+    born_radius [rows], row_force [rows, 3], col_force [N, 3 — replicated],
+    evdw_der_W, egb_der_U [N — replicated]).
+    """
+    n = pos.shape[0]
+    dist = pos[None, :, :] - pos_blk[:, None, :]  # [nb, N, 3], j - i
+    if box is not None:
+        b = box[None, None, :]
+        dist = dist - b * jnp.round(dist / b)
+    d2 = jnp.sum(dist * dist, axis=-1)
+    eye = row_ids[:, None] == jnp.arange(n)[None, :]
+    d2_safe = jnp.where(eye, 1.0, d2)
+    d = jnp.sqrt(d2_safe)
+    # padded rows can land at raw distance 0 from a real atom after a
+    # minimum-image wrap; every division below is masked, so only the
+    # 0/0 -> NaN path needs the guard
+    d_div = jnp.where(d > 0.0, d, 1.0)
+
+    screener = ishydrogen[None, :] == 0
+    pair_mask = (~eye) & screener & (d < AGBNP_I4LOOKUP_MAXA)
+    tj_cols = jnp.maximum(type_j, 0)
+    ntypes_i = yflat.shape[0] // (ntypes_j * AGBNP_I4LOOKUP_NA)
+    q, dq = spline_lookup_pairs(d, type_i_blk, tj_cols, yflat, y2flat,
+                                ntypes_i, ntypes_j, deriv=True)
+    fmask_q = pair_mask.astype(d.dtype)
+    q = q * fmask_q
+    dq = dq * fmask_q
+
+    # Born radii (ReferenceAGBNPKernels.cpp:437-454): row-local sums
+    beta = (1.0 / radii_vdw_blk
+            - PIFAC * jnp.sum(s_factor[None, :] * q, axis=1))
+    filt, fp = agbnp_swf_invbr(beta)
+    br_blk = 1.0 / filt
+    br = all_gather(br_blk)[:n]
+
+    # GB energy (ReferenceAGBNPKernels.cpp:464-504).  mw/fmask are
+    # symmetric, so each row's local sum is that atom's complete force.
+    bb = br_blk[:, None] * br[None, :]
+    etij = jnp.exp(-0.25 * jnp.where(eye, 0.0, d2) / bb)
+    fgb = 1.0 / jnp.sqrt(jnp.where(eye, 1.0, d2 + bb * etij))
+    mask = ~eye
+    if cutoff is not None:
+        mask = mask & (d < cutoff)
+    fmask = mask.astype(d.dtype)
+    qq_f = charge_blk[:, None] * charge[None, :]
+    qq = DIELECTRIC_FACTOR * qq_f
+    gb_self = psum(jnp.sum(DIELECTRIC_FACTOR * charge_blk * charge_blk
+                           / br_blk))
+    gb_pair = psum(jnp.sum(fmask * qq * fgb))
+    fgb3 = fgb ** 3
+    mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
+    gb_force = jnp.sum(fmask[:, :, None] * dist * mw[:, :, None], axis=1)
+    egb_der_Y = jnp.sum(fmask * qq_f * (bb + 0.25 * d2) * etij * fgb3,
+                        axis=1)
+
+    # vdW dispersion + chain factors (cpp:513-549)
+    e_vdw = psum(jnp.sum(alpha_blk / (br_blk + AGBNP_HB_RADIUS) ** 3))
+    evdw_der_brw, egb_der_bru = born_chain_factors(
+        alpha_blk, charge_blk, br_blk, fp, egb_der_Y)
+
+    # descreening sweep (cpp:555-586): W/U are screener-side (column)
+    # reductions -> psum across row blocks; the direct force splits into a
+    # row part (this block's screened atoms) and a column part (reaction on
+    # the screeners, which every block contributes to -> psum)
+    evdw_der_W = psum(jnp.sum(evdw_der_brw[:, None] * q, axis=0))
+    egb_der_U = psum(jnp.sum(egb_der_bru[:, None] * q, axis=0))
+    c = ((evdw_der_brw + egb_der_bru)[:, None] * s_factor[None, :]
+         * dq / d_div) * fmask_q
+    row_force = jnp.sum(c[:, :, None] * dist, axis=1)
+    col_force = psum(jnp.sum(-c[:, :, None] * dist, axis=0))
+
+    return dict(gb_self=gb_self, gb_pair=gb_pair, e_vdw=e_vdw,
+                born_radius=br_blk, row_force=gb_force + row_force,
+                col_force=col_force, evdw_der_W=evdw_der_W,
+                egb_der_U=egb_der_U)
+
+
 def vdw_energy(alpha, born_radius):
     """E_vdw = sum_i alpha_i / (B_i + rw)^3
     (reference ReferenceAGBNPKernels.cpp:513-521)."""

@@ -66,9 +66,11 @@ class ReplicaEnsemble:
                                         temperature, friction)
 
             def replica_run(state, nsteps):
-                (pos, vel, key), outs = jax.lax.scan(step, state,
-                                                     length=nsteps)
-                return (pos, vel, key), outs[0]
+                (pos, vel, key), (energies, counts) = jax.lax.scan(
+                    step, state, length=nsteps)
+                return (pos, vel, key), (
+                    energies, jnp.max(counts, axis=0),
+                    jnp.zeros((), jnp.int32), jnp.zeros(7, jnp.int32))
 
             vrun = jax.vmap(replica_run, in_axes=(0, None))
 
@@ -89,7 +91,7 @@ class ReplicaEnsemble:
 
         def outer(carry, _, ninner):
             pos, vel, key = carry
-            pi, pj, pv, _ = half_neighbor_pairs(pos, heavy, rcut, kmax)
+            pi, pj, pv, nbmax = half_neighbor_pairs(pos, heavy, rcut, kmax)
             lvl1 = _T.make_level1(pos, jnp.asarray(a["radii_large"]),
                                   jnp.asarray(a["vol_large"]),
                                   jnp.asarray(gdr),
@@ -102,12 +104,17 @@ class ReplicaEnsemble:
                 sim.masses, dt, temperature, friction)
             (pos, vel, key), (energies, counts) = jax.lax.scan(
                 inner, (pos, vel, key), length=ninner)
-            return (pos, vel, key), energies
+            # carry the overflow diagnostics like make_langevin_runner — an
+            # overflowing replica must not silently run with a truncated tree
+            maxcounts = jnp.maximum(jnp.max(counts, axis=0), bdiag["counts"])
+            return (pos, vel, key), (energies, maxcounts, nbmax,
+                                     bdiag["max_siblings"])
 
         def replica_run(state, nouter, ninner):
-            state, energies = jax.lax.scan(partial(outer, ninner=ninner),
-                                           state, length=nouter)
-            return state, energies.reshape(-1)
+            state, (energies, counts, nbmax, sibs) = jax.lax.scan(
+                partial(outer, ninner=ninner), state, length=nouter)
+            return state, (energies.reshape(-1), jnp.max(counts, axis=0),
+                           jnp.max(nbmax), jnp.max(sibs, axis=0))
 
         vrun = jax.vmap(replica_run, in_axes=(0, None, None))
 
@@ -130,12 +137,18 @@ class ReplicaEnsemble:
         # warm with the SAME static nsteps so the timed call reuses the
         # compiled executable
         out = run(states, nsteps)
-        np.asarray(out[1]).ravel()[:1]  # sync
+        np.asarray(out[1][0]).ravel()[:1]  # sync
         t0 = time.perf_counter()
-        states, energies = run(states, nsteps)
+        states, (energies, counts, nbmax, sibs) = run(states, nsteps)
         energies = np.asarray(energies)
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
+        # overflow across all replicas (each replica's maxima were reduced
+        # on device; here max over the replica axis)
+        overflow = self.sim._check_overflow(
+            np.asarray(counts).max(axis=0), int(np.asarray(nbmax).max()),
+            np.asarray(sibs).max(axis=0))
         return dict(ns_day_per_replica=ns_day,
                     replica_ns_day_aggregate=ns_day * self.n_replicas,
-                    elapsed_s=elapsed, energies=energies, states=states)
+                    elapsed_s=elapsed, energies=energies, states=states,
+                    overflow=overflow)

@@ -6,8 +6,9 @@ import numpy as np
 import pytest
 
 from openmm_agbnp_plugin_tpu.parallel.sharding import (
-    atom_sharded_born_sums,
+    atom_mesh,
     replica_mesh,
+    sharded_pair_phases,
 )
 
 
@@ -27,19 +28,38 @@ def test_eight_devices_present():
     assert len(jax.devices()) == 8
 
 
-def test_atom_sharded_born_sums_psum():
-    mesh = replica_mesh(8)
-    rows, cols = 32, 48
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.uniform(size=(rows, cols)))
-    s = jnp.asarray(rng.uniform(size=(cols,)))
-    brw = jnp.asarray(rng.uniform(size=(rows,)))
-    fn = atom_sharded_born_sums(mesh)
-    row, col = fn(q, s, brw)
-    np.testing.assert_allclose(np.asarray(row), np.asarray(q) @ np.asarray(s),
+def test_sharded_pair_phases_match_dense(gaussvol_system):
+    """AGBNP1 energy + forces with the pair phases row-sharded over an
+    8-device atoms mesh equal the single-device dense path to f64 roundoff
+    on the 264-atom reference fixture."""
+    from functools import partial
+
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import (
+        energy_forces, prepare_arrays)
+    from openmm_agbnp_plugin_tpu.ops.tree import TreeCaps
+
+    params, pos = gaussvol_system
+    arrays = prepare_arrays(params, dtype=np.float64)
+    caps = TreeCaps.for_natoms(params.n)
+    ntypes_j = int(np.max(np.asarray(arrays["type_j"])) + 1)
+
+    kw = dict(caps=caps, version=1, roffset=params.roffset,
+              ntypes_j=ntypes_j)
+    ref = jax.jit(partial(energy_forces, **kw))(arrays, jnp.asarray(pos))
+
+    mesh = atom_mesh(8)
+    shard = sharded_pair_phases(mesh, arrays, ntypes_j)
+    out = jax.jit(partial(energy_forces, pair_shard=shard, **kw))(
+        arrays, jnp.asarray(pos))
+
+    np.testing.assert_allclose(float(out["energy"]), float(ref["energy"]),
                                rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(col),
-                               np.asarray(brw) @ np.asarray(q), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["force"]),
+                               np.asarray(ref["force"]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out["details"]["born_radius"]),
+        np.asarray(ref["details"]["born_radius"]), rtol=1e-12)
 
 
 def test_replica_ensemble_md(tiny_sim):
@@ -50,9 +70,13 @@ def test_replica_ensemble_md(tiny_sim):
     ens = ReplicaEnsemble(tiny_sim, n_replicas=8)
     run = ens.make_runner(dt=0.001)
     states = ens.initial_states(jitter=1e-4)
-    states, energies = run(states, 3)
+    states, (energies, counts, nbmax, sibs) = run(states, 3)
     energies = np.asarray(energies)
     assert energies.shape == (8, 3)
     assert np.isfinite(energies).all()
     # different PRNG streams -> trajectories diverge
     assert len(np.unique(energies[:, -1])) > 1
+    # overflow diagnostics ride the run: no replica overflowed here
+    assert not tiny_sim._check_overflow(
+        np.asarray(counts).max(axis=0), int(np.asarray(nbmax).max()),
+        np.asarray(sibs).max(axis=0))
