@@ -27,14 +27,21 @@ except Exception:
     pass
 
 
-def main():
+def main(system=None):
     import jax.numpy as jnp
 
     from openmm_agbnp_plugin_tpu.io.dms import load_dms
     from openmm_agbnp_plugin_tpu.md.minimize import fire_minimize
     from openmm_agbnp_plugin_tpu.md.simulation import Simulation
 
-    system = sys.argv[1] if len(sys.argv) > 1 else "trpcage_agbnp1"
+    # step counts overridable so the CI smoke test can run this exact code
+    # path in seconds (tests/test_example.py)
+    n_lang = int(os.environ.get("AGBNP_TEST_LANGEVIN_STEPS", "10000"))
+    n_verlet = int(os.environ.get("AGBNP_TEST_VERLET_STEPS", "1000"))
+    n_min = int(os.environ.get("AGBNP_TEST_MINIMIZE_ITERS", "200"))
+
+    if system is None:
+        system = sys.argv[1] if len(sys.argv) > 1 else "trpcage_agbnp1"
     here = os.path.dirname(os.path.abspath(__file__))
     dms = load_dms(os.path.join(here, "..", "benchmarks", "data",
                                 f"{system}.dms"))
@@ -50,7 +57,7 @@ def main():
     print(f"Initial potential energy: {float(e0):.3f} kJ/mol")
 
     print("Minimization/equilibration ...")
-    pos, etrace = fire_minimize(fn, sim.positions, maxiter=200)
+    pos, etrace = fire_minimize(fn, sim.positions, maxiter=n_min)
     print(f"Minimized energy: {float(etrace[-1]):.3f} kJ/mol")
 
     run = sim.make_langevin_runner(dt=0.0005, temperature=300.0, friction=1.0,
@@ -59,23 +66,24 @@ def main():
     vel = jnp.zeros_like(pos)
     t0 = time.perf_counter()
     pos, vel, key, energies, (counts, nbmax, *_rest) = run(pos, vel, key,
-                                                           10000)
+                                                           n_lang)
     jax.block_until_ready(pos)
     lang_s = time.perf_counter() - t0
-    print(f"Langevin 10000 x 0.5 fs: {lang_s:.1f} s "
-          f"({10000 * 0.0005e-3 / lang_s * 86400:.2f} ns/day), "
+    print(f"Langevin {n_lang} x 0.5 fs: {lang_s:.1f} s "
+          f"({n_lang * 0.0005e-3 / lang_s * 86400:.2f} ns/day), "
           f"final E_pot {float(energies[-1]):.2f} kJ/mol")
 
     print("Test energy conservation ...")
     vrun = sim.make_verlet_runner(dt=0.001)
-    pos2, vel2, pe, ke = vrun(pos, vel, 1000)
+    pos2, vel2, pe, ke = vrun(pos, vel, n_verlet)
     jax.block_until_ready(pos2)
     etot = np.asarray(pe) + np.asarray(ke)
     drift = float(etot[-1] - etot[0])
-    drift_rate = drift / 1.0  # kJ/mol per ps (1000 x 1 fs)
+    drift_rate = drift / (n_verlet * 0.001)  # kJ/mol per ps
     print(f"Total-energy drift over 1 ps Verlet: {drift:+.4f} kJ/mol "
           f"({drift_rate:+.4f} kJ/mol/ps)")
-    ok = abs(drift_rate) < 5.0
+    tol = float(os.environ.get("AGBNP_TEST_DRIFT_TOL", "5.0"))
+    ok = abs(drift_rate) < tol
     print("PASS" if ok else "FAIL (drift too large)")
     return 0 if ok else 1
 

@@ -165,12 +165,27 @@ class Context:
             # own v2 force chain is incomplete/WIP); model built lazily on
             # first evaluation since MS sizing needs positions.
             self._model = None
-        else:
-            self._model = AGBNPModel(force.to_params(),
-                                     version=force.getVersion(),
-                                     cutoff=cutoff, dtype=self._dtype,
-                                     caps=self._caps,
-                                     box=self._box if periodic else None)
+            return
+        params = force.to_params()
+        box = self._box if periodic else None
+        old = getattr(self, "_model", None)
+        if (old is not None and isinstance(old, AGBNPModel)
+                and old.version == force.getVersion()
+                and old.cutoff == cutoff
+                and ((old.box is None) == (box is None))
+                and (box is None or np.array_equal(np.asarray(old.box), box))
+                and old.params.n == params.n
+                and np.array_equal(np.asarray(old.params.ishydrogen),
+                                   np.asarray(params.ishydrogen))):
+            # parameter-only update: swap the jit-argument arrays, keep the
+            # compiled executable (the reference re-uploads device arrays,
+            # AGBNPForce.cpp:76-78 -> copyParametersToContext)
+            old.update_params(params)
+            self._model = old
+            return
+        self._model = AGBNPModel(params, version=force.getVersion(),
+                                 cutoff=cutoff, dtype=self._dtype,
+                                 caps=self._caps, box=box)
 
     def setPositions(self, positions):
         self._positions = np.asarray(positions, dtype=np.float64)

@@ -27,16 +27,21 @@ def temperature(vel, masses):
     return 2.0 * kinetic_energy(vel, masses) / (ndof * KB)
 
 
-def langevin_middle_step(force_fn, masses, dt, temp, friction):
+def langevin_middle_step(force_fn, masses, dt, temp, friction,
+                         constraints=None):
     """One step of the middle-scheme Langevin integrator.
 
-      v <- v + dt f(x)/m
+      v <- v + dt f(x)/m           [+ RATTLE]
       x <- x + dt/2 v
       v <- a v + sqrt(1-a^2) sqrt(kT/m) xi        (a = exp(-friction dt))
-      x <- x + dt/2 v
+      x <- x + dt/2 v              [+ SHAKE vs pre-step x, velocity fixup]
 
-    One force evaluation per step.  Returns a scan-compatible step function
-    over state (pos, vel, key).
+    One force evaluation per step.  With constraints (md/constraints.py),
+    this is the constrained middle scheme OpenMM's LangevinMiddleIntegrator
+    applies to the reference systems' Desmond X-H constraint tables: RATTLE
+    after the force kick, SHAKE after the position update, and the implied
+    velocity correction (x_c - x)/dt.  Returns a scan-compatible step
+    function over state (pos, vel, key).
     """
     a = jnp.exp(-friction * dt)
     b = jnp.sqrt(1.0 - a * a)
@@ -46,20 +51,30 @@ def langevin_middle_step(force_fn, masses, dt, temp, friction):
         pos, vel, key = state
         energy, force, *aux = force_fn(pos)
         vel = vel + dt * force * inv_m
+        if constraints is not None:
+            vel = constraints.velocities(pos, vel)
+        pos0 = pos
         pos = pos + 0.5 * dt * vel
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
         sigma = jnp.sqrt(KB * temp * inv_m)
         vel = a * vel + b * sigma * noise
         pos = pos + 0.5 * dt * vel
+        if constraints is not None:
+            posc = constraints.positions(pos, pos0)
+            vel = vel + (posc - pos) / dt
+            pos = posc
         return (pos, vel, key), (energy, *aux)
 
     return step
 
 
-def velocity_verlet_step(force_fn, masses, dt):
+def velocity_verlet_step(force_fn, masses, dt, constraints=None):
     """Velocity Verlet; carries the force to avoid re-evaluation.
 
+    With constraints this is classic SHAKE/RATTLE Verlet: SHAKE the drifted
+    positions against the previous constrained ones (with the matching
+    half-kick velocity fixup), RATTLE the final velocities.
     State: (pos, vel, force).  Returns (state, (potential, kinetic)).
     """
     inv_m = 1.0 / masses[:, None]
@@ -67,10 +82,16 @@ def velocity_verlet_step(force_fn, masses, dt):
     def step(state, _):
         pos, vel, force = state
         vel_half = vel + 0.5 * dt * force * inv_m
-        pos = pos + dt * vel_half
-        energy, new_force, *aux = force_fn(pos)
+        new_pos = pos + dt * vel_half
+        if constraints is not None:
+            posc = constraints.positions(new_pos, pos)
+            vel_half = vel_half + (posc - new_pos) / dt
+            new_pos = posc
+        energy, new_force, *aux = force_fn(new_pos)
         vel = vel_half + 0.5 * dt * new_force * inv_m
+        if constraints is not None:
+            vel = constraints.velocities(new_pos, vel)
         ke = kinetic_energy(vel, masses)
-        return (pos, vel, new_force), (energy, ke, *aux)
+        return (new_pos, vel, new_force), (energy, ke, *aux)
 
     return step

@@ -24,12 +24,19 @@ from .forces import MMForceField
 from .integrators import langevin_middle_step, velocity_verlet_step
 
 
-def _host_max_neighbors(pos, heavy, rcut):
-    d = np.linalg.norm(pos[None, :, :] - pos[:, None, :], axis=-1)
+def _host_max_neighbors(pos, heavy, rcut, chunk: int = 2048):
+    """Max half-list neighbor count, row-chunked so host memory stays
+    O(N*chunk) instead of O(N^2) for large systems."""
     n = pos.shape[0]
     jj = np.arange(n)
-    ok = (jj[None, :] > jj[:, None]) & (d < rcut) & heavy[:, None] & heavy[None, :]
-    return int(ok.sum(axis=1).max())
+    best = 0
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        d2 = np.sum((pos[s:e, None, :] - pos[None, :, :]) ** 2, axis=-1)
+        ok = ((jj[None, :] > jj[s:e, None]) & (d2 < rcut * rcut)
+              & heavy[s:e, None] & heavy[None, :])
+        best = max(best, int(ok.sum(axis=1).max()))
+    return best
 
 
 class Simulation:
@@ -45,8 +52,7 @@ class Simulation:
                  caps=None, pairs=None, skin: float = 0.15,
                  kmax: int | None = None, vsites=None, mixed: bool = False,
                  pair_kernel: bool | None = None,
-                 tree_kernel: bool | None = None,
-                 caps_boost: float = 1.25):
+                 caps_boost: float = 1.25, constraints: bool = False):
         self.dms = dms
         self.dtype = dtype
         self.version = version
@@ -79,7 +85,6 @@ class Simulation:
                                     dtype=dtype, caps=caps, pairs=pairs,
                                     positions=dms.positions, mixed=mixed,
                                     pair_kernel=pair_kernel,
-                                    tree_kernel=tree_kernel,
                                     caps_boost=caps_boost)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
@@ -97,29 +102,23 @@ class Simulation:
             kmax = int(np.ceil(seen * 1.5 / 16) * 16)
         self.kmax = kmax
         self.heavy_mask = jnp.asarray(heavy)
-        if self.agbnp2 is None and self.agbnp.tree_kernel:
-            self._init_tree_windows()
+        # O(N) cell-grid neighbor build above the dense-rebuild crossover
+        # (the analogue of OpenMM's cell-based tiles the reference rides)
+        from ..ops.neighbors import CellGrid, cell_neighbor_pairs
+        self.grid = None
+        if params.n > 3000:
+            self.grid = CellGrid(np.asarray(dms.positions), self.rcut_list,
+                                 heavy_mask=heavy)
+        self.neighbor_fn = (partial(cell_neighbor_pairs, grid=self.grid)
+                            if self.grid is not None else half_neighbor_pairs)
+        # Desmond X-H constraint tables -> SHAKE/RATTLE in the MD loop (the
+        # reference gets these through DesmondDMSFile.createSystem)
+        self.constraints = None
+        if constraints:
+            from .constraints import Constraints
+            self.constraints = Constraints.from_dms(dms)
 
-    def _init_tree_windows(self):
-        """Build the topology once on the initial positions and size the
-        tree-sweep kernels' banded window plan from its measured spans (the
-        window analogue of the reference's CPU GaussVol sizing pre-pass)."""
-        from ..ops import tree as _T
-
-        m = self.agbnp
-        pos = jnp.asarray(self.dms.positions, self.dtype)
-        pi, pj, pv, _ = half_neighbor_pairs(pos, self.heavy_mask,
-                                            self.rcut_list, self.kmax)
-        gdr = m.arrays["gamma"] / m.params.roffset
-        lvl1 = _T.make_level1(pos, m.arrays["radii_large"],
-                              m.arrays["vol_large"], gdr,
-                              m.arrays["ishydrogen"])
-        levels, _ = jax.jit(partial(_T.build_tree, caps=m.caps,
-                                    pair_rows=True))(
-            lvl1, pi, pj, pairs_valid=pv)
-        m.ensure_tree_windows(topology=_T.tree_topology(levels))
-
-    def _agbnp_force(self, pos, pairs=None, topology=None, sweep=None,
+    def _agbnp_force(self, pos, pairs=None, topology=None,
                      mm_nb=None):
         a = self.agbnp.arrays
         if pairs is not None:
@@ -134,10 +133,6 @@ class Simulation:
                             mixed=self.agbnp.mixed,
                             pair_pad=self.agbnp.pair_pad,
                             pair_interpret=self.agbnp.pair_interpret,
-                            sweep=sweep,
-                            tree_windows=self.agbnp.tree_windows,
-                            tree_npad=self.agbnp.tree_npad,
-                            tree_interpret=self.agbnp.tree_interpret,
                             mm_nb=mm_nb)
         energy = out["energy"]
         e_mm_nb = out["details"].get("e_mm_nb")
@@ -145,7 +140,7 @@ class Simulation:
             energy = energy + e_mm_nb
         return energy, out["force"], out["diag"]["counts"]
 
-    def force_fn(self, pairs=None, topology=None, sweep=None):
+    def force_fn(self, pairs=None, topology=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
@@ -171,7 +166,7 @@ class Simulation:
             if self.vsites is not None:
                 pos = project_positions(pos, self.vsites)
             energy, force, counts = self._agbnp_force(pos, pairs, topology,
-                                                      sweep, mm_nb=mm_nb)
+                                                      mm_nb=mm_nb)
             if self.mm is not None:
                 mm_e = (self.mm.energy_bonded_and_14 if fuse_mm
                         else self.mm.energy)
@@ -199,13 +194,21 @@ class Simulation:
             # numpy-hosted param arrays become trace-time constants here
             # (indexing them with tracers directly would fail)
             a2 = {k: jnp.asarray(v) for k, v in m2.arrays.items()}
-            mpi, mpj, mpv, _ = half_neighbor_pairs(pos, heavy, ms_rcut,
-                                                   ms_kmax_list)
+            mpi, mpj, mpv, cand_nb = half_neighbor_pairs(pos, heavy, ms_rcut,
+                                                         ms_kmax_list)
             e, diags, details = agbnp2_energy(
                 a2, pos, m2.caps, m2.caps_ms, m2.params.roffset,
                 m2.ntypes_j, mpi, mpj, mpv, m2.cap_ms, m2.ms_kmax,
                 m2.common_gamma, cutoff=m2.cutoff)
-            return e, diags[0]["counts"]
+            d0, d1 = diags
+            # [17] overflow vector: main tree [7], MS tree [7], then
+            # (MS particle count, MS-tree neighbor max, candidate-pair max)
+            countsvec = jnp.concatenate([
+                d0["counts"].astype(jnp.int32),
+                d1["counts"].astype(jnp.int32),
+                jnp.stack([d1["ms_count"], d1["ms_nbmax"],
+                           cand_nb]).astype(jnp.int32)])
+            return e, countsvec
 
         def fn(pos):
             if self.vsites is not None:
@@ -242,13 +245,15 @@ class Simulation:
         """
         masses, rcut, kmax = self.masses, self.rcut_list, self.kmax
         heavy = self.heavy_mask
+        nbfn = self.neighbor_fn
 
         if self.agbnp2 is not None:
             neighbor_every = 0  # v2 rebuilds everything per step
 
         if neighbor_every <= 0:
             step = langevin_middle_step(self.force_fn(), masses, dt,
-                                        temperature, friction)
+                                        temperature, friction,
+                                        constraints=self.constraints)
 
             @partial(jax.jit, static_argnames=("nsteps",))
             def run(pos, vel, key, nsteps: int):
@@ -256,7 +261,6 @@ class Simulation:
                     step, (pos, vel, key), length=nsteps)
                 return pos, vel, key, energies, (jnp.max(counts, axis=0),
                                                  jnp.zeros((), jnp.int32),
-                                                 jnp.zeros(7, jnp.int32),
                                                  jnp.zeros(7, jnp.int32))
 
             return run
@@ -268,12 +272,10 @@ class Simulation:
 
             def outer(carry, _):
                 pos, vel, key = carry
-                pi, pj, pv, nbmax = half_neighbor_pairs(pos, heavy, rcut, kmax)
+                pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
                 topo = None
-                sweep = None
                 build_counts = None
                 sib_max = jnp.zeros(7, jnp.int32)
-                spans = jnp.zeros(7, jnp.int32)
                 if rebuild_topology:
                     from ..ops import tree as _T
                     gdr = self.agbnp.arrays["gamma"] / self.agbnp.params.roffset
@@ -288,36 +290,29 @@ class Simulation:
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
                     sib_max = bdiag["max_siblings"]
-                    if (self.agbnp.tree_kernel
-                            and self.agbnp.tree_windows is not None):
-                        from ..ops.pallas import tree_sweep as _TS
-                        sweep = _TS.sweep_statics(topo, self.agbnp.at6,
-                                                  self.agbnp.tree_windows,
-                                                  self.agbnp.tree_npad)
-                        spans = sweep["spans"]
                 inner = langevin_middle_step(
-                    self.force_fn(pairs=(pi, pj, pv), topology=topo,
-                                  sweep=sweep), masses,
-                    dt, temperature, friction)
+                    self.force_fn(pairs=(pi, pj, pv), topology=topo),
+                    masses, dt, temperature, friction,
+                    constraints=self.constraints)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     inner, (pos, vel, key), length=neighbor_every)
                 maxcounts = jnp.max(counts, axis=0)
                 if build_counts is not None:
                     maxcounts = jnp.maximum(maxcounts, build_counts)
-                return (pos, vel, key), (energies, maxcounts, nbmax, spans,
-                                         sib_max)
+                return (pos, vel, key), (energies, maxcounts, nbmax, sib_max)
 
-            (pos, vel, key), (energies, counts, nbmax, spans, sibs) = \
+            (pos, vel, key), (energies, counts, nbmax, sibs) = \
                 jax.lax.scan(outer, (pos, vel, key), length=nouter)
             return (pos, vel, key, energies.reshape(-1),
                     (jnp.max(counts, axis=0), jnp.max(nbmax),
-                     jnp.max(spans, axis=0), jnp.max(sibs, axis=0)))
+                     jnp.max(sibs, axis=0)))
 
         return run
 
     def make_verlet_runner(self, dt=0.001):
         fn = self.force_fn()
-        step = velocity_verlet_step(fn, self.masses, dt)
+        step = velocity_verlet_step(fn, self.masses, dt,
+                                    constraints=self.constraints)
 
         @partial(jax.jit, static_argnames=("nsteps",))
         def run(pos, vel, nsteps: int):
@@ -345,32 +340,76 @@ class Simulation:
             out = run(pos, vel, key, nsteps)
             np.asarray(out[0]).ravel()[0:1]  # force full sync through the tunnel
         t0 = time.perf_counter()
-        pos, vel, key, energies, (counts, nbmax, spans, sibs) = run(
+        pos, vel, key, energies, (counts, nbmax, sibs) = run(
             pos, vel, key, nsteps)
         counts = np.asarray(counts)  # device sync
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
-        overflow = self._check_overflow(counts, nbmax, sibs, spans)
+        overflow = self._check_overflow(counts, nbmax, sibs)
         return dict(ns_day=ns_day, elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
                     final_pos=pos, final_vel=vel, tree_counts_max=counts,
                     neighbor_max=int(nbmax), overflow=overflow,
                     energies=np.asarray(energies))
 
-    def _check_overflow(self, counts, nbmax, sibs, spans=None) -> bool:
+    def _check_overflow(self, counts, nbmax, sibs) -> bool:
+        if self.agbnp2 is not None:
+            return self._check_overflow_v2(counts)
         caps = np.asarray(self.agbnp.caps.caps)
         offs = np.asarray(self.agbnp.caps.offs)
         # the deepest level's sibling groups are never enumerated further
         # (MAX_ORDER truncation, reference gaussvol.cpp:211), so only the
         # windows that actually generate children can overflow
         sib_over = (np.asarray(sibs)[: len(offs)] - 1) > offs
-        over = bool((np.asarray(counts) > caps).any() or sib_over.any()
+        return bool((np.asarray(counts) > caps).any() or sib_over.any()
                     or int(nbmax) > self.kmax)
-        if (spans is not None and getattr(self.agbnp, "tree_kernel", False)
-                and self.agbnp.tree_windows is not None):
-            from ..ops.pallas import tree_sweep as _TS
-            over = over or not _TS.windows_ok(np.asarray(spans),
-                                              self.agbnp.tree_windows)
-        return over
+
+    def _check_overflow_v2(self, countsvec) -> bool:
+        """AGBNP2 overflow test over the [17] diagnostics vector."""
+        c = np.asarray(countsvec)
+        m2 = self.agbnp2
+        return bool(
+            (c[:7] > np.asarray(m2.caps.caps)).any()
+            or (c[7:14] > np.asarray(m2.caps_ms.caps)).any()
+            or int(c[14]) > m2.cap_ms
+            or int(c[15]) > m2.ms_kmax
+            or int(c[16]) > self.ms_kmax_list)
+
+    def _regrow_v2(self, countsvec, headroom: float = 1.3):
+        """PanicButton resize for AGBNP2: regrow the main-tree caps, the
+        MS-tree caps, the MS particle capacity, and both neighbor widths
+        from the measured maxima, then rebuild the model."""
+        from ..models.agbnp2_jax import AGBNP2Model
+        from ..ops.tree import TreeCaps
+
+        c = np.asarray(countsvec)
+        m2 = self.agbnp2
+
+        def r(x, align=128):
+            return max(align, int(np.ceil(x / align)) * align)
+
+        def grow_caps(old, counts):
+            return TreeCaps(
+                caps=tuple(max(c0, 2 * c0 if int(k) > c0 else c0,
+                               r(int(k) * headroom))
+                           for c0, k in zip(old.caps, counts)),
+                offs=old.offs)
+
+        caps = grow_caps(m2.caps, c[:7])
+        caps_ms = grow_caps(m2.caps_ms, c[7:14])
+        cap_ms = m2.cap_ms
+        if int(c[14]) > cap_ms:
+            cap_ms = r(int(c[14]) * 1.5)
+        ms_kmax = m2.ms_kmax
+        if int(c[15]) > ms_kmax:
+            ms_kmax = int(np.ceil(int(c[15]) * 1.5 / 16) * 16)
+        if int(c[16]) > self.ms_kmax_list:
+            self.ms_kmax_list = int(np.ceil(int(c[16]) * 1.5 / 16) * 16)
+        self.agbnp2 = AGBNP2Model(m2.params, dtype=self.dtype,
+                                  positions=np.asarray(self.dms.positions),
+                                  cutoff=m2.cutoff, caps=caps,
+                                  caps_ms=caps_ms, cap_ms=cap_ms,
+                                  ms_kmax=ms_kmax)
+        self.agbnp = self.agbnp2
 
     def _regrow(self, counts, nbmax, sibs, headroom: float = 1.3):
         """PanicButton resize (reference OpenCLAGBNPKernels.cpp:340-343,
@@ -379,6 +418,8 @@ class Simulation:
         stale — rebuild them with make_langevin_runner."""
         from ..ops.tree import TreeCaps
 
+        if self.agbnp2 is not None:
+            return self._regrow_v2(counts, headroom)
         old = self.agbnp.caps
 
         def r(x, align=128):
@@ -396,19 +437,19 @@ class Simulation:
                          int(np.ceil(max(int(sb) - 1, 1) * headroom)))
                      for o0, sb in zip(old.offs, sibs[:-1]))
         if int(nbmax) > self.kmax:
+            if self.grid is not None:
+                # a cell-capacity overflow reports kmax+1 through this
+                # channel; regrow the grid capacity alongside kmax
+                from ..ops.neighbors import cell_neighbor_pairs as _cnp
+                self.grid = self.grid.grown()
+                self.neighbor_fn = partial(_cnp, grid=self.grid)
             self.kmax = int(np.ceil(int(nbmax) * 1.5 / 16) * 16)
         m = self.agbnp
         self.agbnp = AGBNPModel(m.params, caps=TreeCaps(caps=caps, offs=offs),
                                 version=m.version, cutoff=m.cutoff,
                                 dtype=self.dtype, mixed=m.mixed,
                                 positions=np.asarray(self.dms.positions),
-                                pair_kernel=m.pair_kernel,
-                                tree_kernel=m.tree_kernel)
-        if self.agbnp.tree_kernel:
-            # the banded window plan is sized from a built topology; without
-            # this the regrown model would silently run with tree_windows
-            # None (tree kernel disabled)
-            self._init_tree_windows()
+                                pair_kernel=m.pair_kernel)
 
     def run_md(self, nsteps, dt=0.001, temperature=300.0, friction=1.0,
                seed=0, neighbor_every: int = 20, segment: int | None = None,
@@ -425,8 +466,6 @@ class Simulation:
         OpenCLAGBNPKernels.cpp:3598-3634).  Returns the same dict as
         benchmark_langevin plus 'regrows'.
         """
-        if self.agbnp2 is not None:
-            max_regrow = 0  # v2: fixed capacities (no regrow path yet)
         if segment is None:
             segment = min(nsteps, 50 * neighbor_every)
         segment -= segment % neighbor_every or 0
@@ -444,10 +483,10 @@ class Simulation:
         while done < nsteps:
             n = min(segment, nsteps - done)
             n -= n % neighbor_every
-            new_pos, new_vel, new_key, e, (counts, nbmax, spans, sibs) = \
+            new_pos, new_vel, new_key, e, (counts, nbmax, sibs) = \
                 run(pos, vel, key, n)
             counts = np.asarray(counts)  # sync
-            if self._check_overflow(counts, nbmax, sibs, spans):
+            if self._check_overflow(counts, nbmax, sibs):
                 if regrows >= max_regrow:
                     raise RuntimeError(
                         "overlap-tree capacities failed to converge after "

@@ -149,9 +149,13 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     gamma_ms = jnp.full(n_ms, -common_gamma / roffset, pos.dtype)
     lvl1_ms = T.make_level1(ms["pos"], jnp.full(n_ms, radw, pos.dtype),
                             fv_vdw, gamma_ms, 1 - ms["valid"].astype(jnp.int32))
-    mpi, mpj, mpv, _ = half_neighbor_pairs(ms["pos"], ms["valid"],
-                                           tree_pair_cutoff([radw]), ms_kmax)
+    mpi, mpj, mpv, m_nbmax = half_neighbor_pairs(ms["pos"], ms["valid"],
+                                                 tree_pair_cutoff([radw]),
+                                                 ms_kmax)
     mlevels, mdiag = T.build_tree(lvl1_ms, mpi, mpj, caps_ms, pairs_valid=mpv)
+    # MS-capacity overflow channels (count vs cap_ms truncation, MS-tree
+    # neighbor list) ride the diagnostics for the MD PanicButton
+    mdiag = {**mdiag, "ms_count": ms["count"], "ms_nbmax": m_nbmax}
     mred2 = T.reduce_tree(mlevels, lvl1_ms, with_selfvol=True)
     energy = energy + mred2["energy"]
 
@@ -192,7 +196,8 @@ class AGBNP2Model:
     """Prepared AGBNP2 system: jitted energy and autodiff forces."""
 
     def __init__(self, params_in: AGBNPParams, dtype=np.float32,
-                 positions=None, cutoff=None, ms_boost: float = 1.6):
+                 positions=None, cutoff=None, ms_boost: float = 1.6,
+                 caps=None, caps_ms=None, cap_ms=None, ms_kmax=None):
         from .agbnp_jax import prepare_arrays
 
         params = AGBNPParams(radius=params_in.radius, gamma=params_in.gamma,
@@ -211,11 +216,19 @@ class AGBNP2Model:
         if positions is None:
             raise ValueError("AGBNP2Model needs initial positions for sizing")
         pos = np.asarray(positions)
-        try:
-            from ..runtime.native import size_tree_caps
-            self.caps = size_tree_caps(params, pos)
-        except Exception:
-            self.caps = T.TreeCaps.for_natoms(params.n)
+        if caps is not None:
+            self.caps = caps
+        else:
+            try:
+                from ..runtime.native import size_tree_caps
+                self.caps = size_tree_caps(params, pos)
+            except Exception as exc:
+                import warnings
+                warnings.warn(
+                    "native tree-sizing pre-pass unavailable "
+                    f"({type(exc).__name__}: {exc}); falling back to "
+                    "heuristic TreeCaps", RuntimeWarning)
+                self.caps = T.TreeCaps.for_natoms(params.n)
 
         # MS candidate pairs + capacity sizing (host pre-pass)
         rc = ms_pair_cutoff(params.radii_vdw)
@@ -227,9 +240,11 @@ class AGBNP2Model:
         self.ms_pi = jnp.asarray(pi, jnp.int32)
         self.ms_pj = jnp.asarray(pj, jnp.int32)
         self.ms_pv = jnp.ones(len(pi), bool)
-        self.cap_ms = max(128, int(np.ceil(len(pi) * ms_boost / 128)) * 128)
-        self.ms_kmax = 64
-        self.caps_ms = T.TreeCaps.for_natoms(max(self.cap_ms // 8, 64))
+        self.cap_ms = (cap_ms if cap_ms is not None else
+                       max(128, int(np.ceil(len(pi) * ms_boost / 128)) * 128))
+        self.ms_kmax = ms_kmax if ms_kmax is not None else 64
+        self.caps_ms = (caps_ms if caps_ms is not None else
+                        T.TreeCaps.for_natoms(max(self.cap_ms // 8, 64)))
 
         ef = partial(agbnp2_energy, caps=self.caps, caps_ms=self.caps_ms,
                      roffset=params.roffset, ntypes_j=self.ntypes_j,

@@ -118,18 +118,14 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
 
 
 def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
-                topology=None, sweep=None, tree_windows=None,
-                tree_npad: int = 0, tree_interpret: bool = False,
-                pair_rows: bool = False):
+                topology=None, pair_rows: bool = False):
     """Two-pass cavity evaluation.
 
     With topology given (a T.tree_topology result from an earlier build),
     the build is replaced by a fixed-topology volume rescan — the fast MD
-    path between topology rebuilds.  With sweep (per-rebuild statics from
-    ops/pallas/tree_sweep.sweep_statics) the rescan+reduce run as banded
-    Pallas MXU kernels instead of XLA gathers/segment-sums.
-    Returns (e_cav, f_cav, self_volume, wu_ctx, lvl1_vdw, diag, red1, red2)
-    where wu_ctx is whatever the matching W/U gamma pass needs.
+    path between topology rebuilds.
+    Returns (e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1,
+    red2) where levels_vdw feeds the W/U gamma pass.
     """
     gamma_dr = a["gamma"] / roffset
 
@@ -144,35 +140,22 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
         red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=False)
         levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
         red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
-        wu_ctx = ("xla", levels_vdw)
     else:
         # fast MD path: both parameterizations rescanned and reduced in one
-        # fused sweep over the fixed topology
+        # fused pass over the fixed topology
         counts = jnp.stack([jnp.sum(t["valid"]) for t in topology])
         diag = dict(counts=counts, caps=jnp.array(caps.caps),
                     max_siblings=jnp.zeros(7, jnp.int32),
                     offs=jnp.array(caps.offs + (0,)))
-        if sweep is not None:
-            from ..ops.pallas import tree_sweep as TS
-
-            diag["sweep_spans"] = sweep["spans"]
-            dats = TS.rescan2_sweep(sweep, lvl1_large, lvl1_vdw,
-                                    tree_windows, tree_npad,
-                                    interpret=tree_interpret)
-            red1, red2 = TS.reduce2_sweep(dats, sweep, lvl1_large, lvl1_vdw,
-                                          tree_windows, tree_npad,
-                                          interpret=tree_interpret)
-            wu_ctx = ("pallas", (dats, sweep))
-        else:
-            levels_large, levels_vdw = T.rescan_volumes2(topology, lvl1_large,
-                                                         lvl1_vdw)
-            red1, red2 = T.reduce_tree2(levels_large, levels_vdw,
-                                        lvl1_large, lvl1_vdw)
-            wu_ctx = ("xla", levels_vdw)
+        levels_large, levels_vdw = T.rescan_volumes2(topology, lvl1_large,
+                                                     lvl1_vdw)
+        red1, red2 = T.reduce_tree2(levels_large, levels_vdw,
+                                    lvl1_large, lvl1_vdw)
 
     e_cav = red1["energy"] + red2["energy"]
     f_cav = -(red1["dr"] + red2["dr"])
-    return e_cav, f_cav, red2["self_volume"], wu_ctx, lvl1_vdw, diag, red1, red2
+    return (e_cav, f_cav, red2["self_volume"], levels_vdw, lvl1_vdw, diag,
+            red1, red2)
 
 
 def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
@@ -255,10 +238,8 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   roffset: float, ntypes_j: int, cutoff=None, topology=None,
                   mixed: bool = False, neighbor_rcut: float = 0.0,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
-                  pair_interpret: bool = False, sweep=None,
-                  tree_windows=None, tree_npad: int = 0,
-                  tree_interpret: bool = False, pair_rows: bool = False,
-                  mm_nb=None, pair_shard=None):
+                  pair_interpret: bool = False, pair_rows: bool = False,
+                  mm_nb=None, pair_shard=None, neighbor_grid=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -272,16 +253,20 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     <~0.7 nm and assume a whole solute).
     """
     if neighbor_kmax > 0:
-        from ..ops.neighbors import half_neighbor_pairs
+        from ..ops.neighbors import cell_neighbor_pairs, half_neighbor_pairs
 
-        pi, pj, pv, nbmax = half_neighbor_pairs(
-            pos, a["ishydrogen"] == 0, neighbor_rcut, neighbor_kmax)
+        if neighbor_grid is not None:
+            pi, pj, pv, nbmax = cell_neighbor_pairs(
+                pos, a["ishydrogen"] == 0, neighbor_rcut, neighbor_kmax,
+                grid=neighbor_grid)
+        else:
+            pi, pj, pv, nbmax = half_neighbor_pairs(
+                pos, a["ishydrogen"] == 0, neighbor_rcut, neighbor_kmax)
         a = {**a, "pairs_i": pi, "pairs_j": pj, "pairs_valid": pv}
         pair_rows = True
-    e_cav, f_cav, self_volume, wu_ctx, lvl1_vdw, diag, red1, red2 = \
-        tree_passes(a, pos, caps, roffset, topology=topology, sweep=sweep,
-                    tree_windows=tree_windows, tree_npad=tree_npad,
-                    tree_interpret=tree_interpret, pair_rows=pair_rows)
+    e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1, red2 = \
+        tree_passes(a, pos, caps, roffset, topology=topology,
+                    pair_rows=pair_rows)
     if neighbor_kmax > 0:
         diag = {**diag, "neighbor_max": nbmax,
                 "neighbor_kmax": jnp.asarray(neighbor_kmax)}
@@ -337,17 +322,9 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # and both carry unit weights, so one pass over gamma_W + gamma_U gives
     # the identical force sum at half the tree work.
     gamma_WU = (evdw_der_W + egb_der_U) / a["vol_vdw_all"]
-    if wu_ctx[0] == "pallas":
-        from ..ops.pallas import tree_sweep as TS
-
-        dats, sw = wu_ctx[1]
-        red_WU = TS.wu_sweep(dats, sw, gamma_WU, tree_windows, tree_npad,
-                             pos.shape[0], interpret=tree_interpret)
-    else:
-        levels_vdw = wu_ctx[1]
-        lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
-        red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
-                               with_selfvol=False)
+    lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
+    red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
+                           with_selfvol=False)
 
     energy = e_cav + gb_self + gb_pair_e + e_vdw
     force = f_cav + pair_force - red_WU["dr"]
@@ -375,7 +352,6 @@ class AGBNPModel:
                  dtype=np.float64, pairs=None, positions=None,
                  mixed: bool = False, box=None,
                  pair_kernel: bool | None = None,
-                 tree_kernel: bool | None = None,
                  caps_boost: float = 1.6):
         self.params = params
         self.version = version
@@ -402,76 +378,68 @@ class AGBNPModel:
         from ..ops.pallas.pairs import pad_to, pick_tile
         self.pair_pad = (pad_to(params.n, pick_tile(params.n))
                          if self.pair_kernel else 0)
-        # banded Pallas tree-sweep kernels for the fixed-topology MD path
-        # (ops/pallas/tree_sweep.py).  Opt-in: measured on the current
-        # TPU runtime both the XLA gather path and the banded kernels are
-        # bound by the same per-row / per-grid-step latency floor, so the
-        # sweep is kept as a validated alternative backend rather than the
-        # default (see benchmarks/RESULTS.md); above ~5k atoms its
-        # span-sized window blocks also exceed the 16 MB scoped-VMEM limit
-        # (2clr fails to compile).  Window plans are sized lazily by the MD
-        # layer (ensure_tree_windows) from a built topology.
-        if tree_kernel is None:
-            tree_kernel = False
-        self.tree_kernel = bool(tree_kernel)
-        self.tree_interpret = False
-        self.tree_windows = None
-        self.tree_npad = 0
-        self.at6 = None
-        if self.tree_kernel:
-            import jax as _jax
-
-            from ..ops.pallas import tree_sweep as TS
-            self.tree_interpret = _jax.default_backend() != "tpu"
-            self.caps = TS.align_caps(caps)
-            caps = self.caps
-            self.tree_npad = TS.pad_rows(params.n)
+        # NOTE: a banded Pallas tree-sweep backend for the fixed-topology MD
+        # path was built, validated, and retired in round 2: on the current
+        # TPU runtime the XLA gather path and the banded kernels hit the
+        # same per-row latency floor, and the span-sized window blocks
+        # exceeded the 16 MB VMEM limit above ~5k atoms (see git history /
+        # benchmarks/RESULTS.md).
         # large systems: build candidate pairs on device per evaluation (an
         # all-pairs list at N^2/2 rows is tile-padding hostile); small ones
         # keep the exact triangular list
         self.neighbor_rcut = 0.0
         self.neighbor_kmax = 0
+        self.neighbor_grid = None
         if pairs is None and positions is not None and params.n > 2000:
             from ..md.simulation import _host_max_neighbors
-            from ..ops.neighbors import tree_pair_cutoff
+            from ..ops.neighbors import CellGrid, tree_pair_cutoff
 
             self.neighbor_rcut = tree_pair_cutoff(params.radii_large) + 0.05
             heavy = np.asarray(params.ishydrogen) == 0
             seen = _host_max_neighbors(np.asarray(positions), heavy,
                                        self.neighbor_rcut)
             self.neighbor_kmax = int(np.ceil(seen * 1.5 / 16) * 16)
+            if params.n > 3000:
+                self.neighbor_grid = CellGrid(np.asarray(positions),
+                                              self.neighbor_rcut,
+                                              heavy_mask=heavy)
             pairs = (np.zeros(1, np.int32), np.zeros(1, np.int32),
                      np.zeros(1, bool))  # placeholder; rebuilt on device
+        self._init_positions = (None if positions is None
+                                else np.asarray(positions))
         self.arrays = prepare_arrays(params, dtype=dtype, pairs=pairs,
                                      pair_pad=self.pair_pad,
                                      positions=positions)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
-        if self.tree_kernel:
-            from ..ops.pallas import tree_sweep as TS
-            self.at6 = TS.atom_statics(self.arrays, params.roffset,
-                                       self.tree_npad, dtype)
         self._build_jit()
 
-    def ensure_tree_windows(self, topology_host_spans=None, topology=None):
-        """Size the per-level banded window plan for the tree-sweep kernels
-        from a built topology's measured spans (host side).  Disables the
-        kernel if a level is ineligible (huge span on a huge level)."""
-        from ..ops.pallas import tree_sweep as TS
+    def update_params(self, params: AGBNPParams) -> bool:
+        """Parameter-only update (updateParametersInContext semantics,
+        reference AGBNPForce.cpp:76-78).
 
-        if not self.tree_kernel or self.tree_windows is not None:
-            return self.tree_windows
-        if topology_host_spans is None:
-            parent_caps = [self.tree_npad] + [t["valid"].shape[0]
-                                              for t in topology[:-1]]
-            topology_host_spans = np.asarray(
-                TS.level_spans(topology, parent_caps))
-        parent_caps = (self.tree_npad,) + self.caps.caps[:-1]
-        windows = TS.size_windows(topology_host_spans, parent_caps)
-        if any(w < 0 for w in windows):
-            self.tree_kernel = False
-            return None
-        self.tree_windows = windows
-        return windows
+        The parameter arrays are jit *arguments*, so when the new parameters
+        keep every static shape (same atom count/hydrogen pattern and the
+        same radius-type table dimensions) this is just an array swap — the
+        compiled executable is reused, like the reference's device-array
+        re-upload.  Returns True if no recompilation was needed.
+        """
+        old = self.arrays
+        pairs = (old["pairs_i"], old["pairs_j"], old["pairs_valid"])
+        arrays = prepare_arrays(params, dtype=self.dtype, pairs=pairs,
+                                pair_pad=self.pair_pad,
+                                positions=self._init_positions)
+        ntypes_j = int(np.max(np.asarray(arrays["type_j"])) + 1)
+        same = (ntypes_j == self.ntypes_j
+                and set(arrays) == set(old)
+                and all(np.shape(arrays[k]) == np.shape(old[k])
+                        for k in arrays))
+        self.params = params
+        self.arrays = arrays
+        if not same:
+            self.ntypes_j = ntypes_j
+            self._build_jit()
+            return False
+        return True
 
     @staticmethod
     def _sized_caps(params, positions, boost: float = 1.6):
@@ -483,8 +451,12 @@ class AGBNPModel:
                 from ..runtime.native import size_tree_caps
                 return size_tree_caps(params, np.asarray(positions),
                                       boost=boost)
-            except Exception:
-                pass
+            except Exception as exc:  # compiler/ABI failure: degrade loudly
+                import warnings
+                warnings.warn(
+                    "native tree-sizing pre-pass unavailable "
+                    f"({type(exc).__name__}: {exc}); falling back to "
+                    "heuristic TreeCaps", RuntimeWarning)
         return T.TreeCaps.for_natoms(params.n, boost=max(1.0, boost / 1.6))
 
     def _build_jit(self):
@@ -493,7 +465,8 @@ class AGBNPModel:
             roffset=self.params.roffset, ntypes_j=self.ntypes_j,
             cutoff=self.cutoff, mixed=self.mixed,
             neighbor_rcut=self.neighbor_rcut,
-            neighbor_kmax=self.neighbor_kmax, box=self.box,
+            neighbor_kmax=self.neighbor_kmax,
+            neighbor_grid=self.neighbor_grid, box=self.box,
             pair_pad=self.pair_pad, pair_interpret=self.pair_interpret))
 
     def energy_forces(self, pos, with_details: bool = False):
@@ -514,10 +487,6 @@ class AGBNPModel:
             self.caps = self.caps.grow(
                 [bool(c) for c in ov["cap_overflow"]],
                 [bool(s) for s in ov["sib_overflow"][:-1]])
-            if self.tree_kernel:
-                from ..ops.pallas import tree_sweep as TS
-                self.caps = TS.align_caps(self.caps)
-                self.tree_windows = None  # re-size on next rebuild
         if nb_over:
             self.neighbor_kmax = int(np.ceil(
                 int(diag["neighbor_max"]) * 1.5 / 16) * 16)

@@ -63,7 +63,8 @@ class ReplicaEnsemble:
 
         if neighbor_every <= 0:
             step = langevin_middle_step(sim.force_fn(), sim.masses, dt,
-                                        temperature, friction)
+                                        temperature, friction,
+                                        constraints=sim.constraints)
 
             def replica_run(state, nsteps):
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
@@ -82,16 +83,16 @@ class ReplicaEnsemble:
 
             return run
 
-        from ..md.simulation import half_neighbor_pairs
         from ..ops import tree as _T
 
         heavy, rcut, kmax = sim.heavy_mask, sim.rcut_list, sim.kmax
+        nbfn = sim.neighbor_fn
         a = sim.agbnp.arrays
         gdr = a["gamma"] / sim.agbnp.params.roffset
 
         def outer(carry, _, ninner):
             pos, vel, key = carry
-            pi, pj, pv, nbmax = half_neighbor_pairs(pos, heavy, rcut, kmax)
+            pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
             lvl1 = _T.make_level1(pos, jnp.asarray(a["radii_large"]),
                                   jnp.asarray(a["vol_large"]),
                                   jnp.asarray(gdr),
@@ -101,7 +102,8 @@ class ReplicaEnsemble:
             topo = _T.tree_topology(levels)
             inner = langevin_middle_step(
                 sim.force_fn(pairs=(pi, pj, pv), topology=topo),
-                sim.masses, dt, temperature, friction)
+                sim.masses, dt, temperature, friction,
+                constraints=sim.constraints)
             (pos, vel, key), (energies, counts) = jax.lax.scan(
                 inner, (pos, vel, key), length=ninner)
             # carry the overflow diagnostics like make_langevin_runner — an

@@ -108,6 +108,9 @@ class NativeGaussVol:
                                     _dp(dr), _dp(dv), _dp(fv), _dp(sv))
         return energy[0], volume[0], -dr, dv, fv, sv
 
+    def total_nodes(self) -> int:
+        return int(self._lib.gv_total_nodes(self._h))
+
     def level_stats(self):
         """Returns (counts[9], max_siblings[9]) for levels 0..8."""
         counts = np.zeros(9, dtype=np.int32)

@@ -54,6 +54,53 @@ def test_agbnp2_energy_finite(small_system):
     assert det["e_ms1"] != 0.0
 
 
+# In-repo golden anchors for AGBNP2 (the reference ships none — its v2 is
+# WIP with no .reference files).  Recorded from this repo's float64 v2
+# oracle on the first 40 atoms of the reference gaussvol.dat fixture; any
+# drift in the v2 physics breaks these the way 872.514 / -2476.66 guard
+# v0/v1 (reference platforms/reference/tests/v{0,1}.reference).
+V2_GOLDEN = dict(
+    energy=-505.76495633268286,
+    e_vol1=1296.819385880833,
+    e_vol2=-1148.76359737392,
+    e_ms1=27.57599932202746,
+    e_vdw=-279.30181003341033,
+    gb_pair=1114.5651675110894,
+    gb_self=-1476.1241599496998,
+    num_ms=28,
+)
+V2_GOLDEN_FORCES = {
+    0: (2.7244478045, -22.2829483825, -34.7403199228),
+    17: (-116.3420644047, 8.9736090847, -130.7872966600),
+    39: (12.2302176390, 25.9733147403, -30.5733421377),
+}
+
+
+def test_agbnp2_oracle_golden(small_system):
+    """v2 regression anchors: energy, per-term breakdown, selected forces."""
+    params, pos = small_system
+    e, f, det = agbnp2_energy_forces(params, pos, return_details=True)
+    assert e == pytest.approx(V2_GOLDEN["energy"], rel=1e-10)
+    for k in ("e_vol1", "e_vol2", "e_ms1", "e_vdw", "gb_pair", "gb_self"):
+        assert det[k] == pytest.approx(V2_GOLDEN[k], rel=1e-9), k
+    assert det["num_ms"] == V2_GOLDEN["num_ms"]
+    for i, ref in V2_GOLDEN_FORCES.items():
+        np.testing.assert_allclose(f[i], ref, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_agbnp2_jax_golden(small_system):
+    """The JAX v2 path reproduces the oracle anchors end-to-end (value
+    assertion, not just finiteness)."""
+    from openmm_agbnp_plugin_tpu.models.agbnp2_jax import AGBNP2Model
+
+    params, pos = small_system
+    m = AGBNP2Model(params, dtype=np.float64, positions=pos)
+    e, f = m.energy_forces(pos)
+    assert float(e) == pytest.approx(V2_GOLDEN["energy"], abs=1e-8)
+
+
+@pytest.mark.slow
 def test_agbnp2_force_fd_global(small_system):
     """Global dE vs -F.dx.  The reference's v2 force chain is knowingly
     incomplete (WIP; its FD checks are compiled out); this oracle carries
@@ -72,6 +119,7 @@ def test_agbnp2_force_fd_global(small_system):
     assert de == pytest.approx(pred, rel=5e-2, abs=5e-3)
 
 
+@pytest.mark.slow
 def test_agbnp2_jax_matches_oracle(small_system):
     """The JAX v2 energy equals the oracle; autodiff forces pass a tight FD
     check (the reference's hand chain cannot)."""
@@ -93,6 +141,7 @@ def test_agbnp2_jax_matches_oracle(small_system):
     assert (ep - em) == pytest.approx(pred, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_agbnp2_md_smoke(gaussvol_system):
     """AGBNP2 MD: Simulation(version=2) runs a few Langevin steps with
     finite energies, and its force at the initial configuration matches the

@@ -48,6 +48,7 @@ def test_agbnp1_parity(gaussvol_system, model_v1):
     np.testing.assert_allclose(np.array(f), f_o, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_agbnp1_forces_equal_autodiff(gaussvol_system, model_v1):
     """The hand-derived analytic force chain must equal jax.grad through the
     entire pipeline (tree build treated as fixed topology, as the reference
@@ -67,6 +68,7 @@ def test_no_overflow_on_fixture(gaussvol_system, model_v1):
     assert not check_overflow(out["diag"])["any"]
 
 
+@pytest.mark.slow
 def test_overflow_detect_and_grow(gaussvol_system):
     """PanicButton path: undersized capacities are detected and grown until
     the evaluation is exact (OpenCLAGBNPKernels.cpp:3598-3634 analogue)."""
@@ -92,6 +94,7 @@ def test_translation_invariance(gaussvol_system, model_v1):
     assert np.abs(np.array(f2).sum(0)).max() < 1e-8
 
 
+@pytest.mark.slow
 def test_row_structured_build_matches_flat(gaussvol_system, model_v1):
     """The gather-free [N, kmax] row build (pair_rows=True, the MD path)
     must be bitwise-identical to the flat triangular-pair build."""
@@ -116,6 +119,7 @@ def test_row_structured_build_matches_flat(gaussvol_system, model_v1):
                                   np.array(ref["force"]))
 
 
+@pytest.mark.slow
 def test_pallas_pair_path_matches_xla(gaussvol_system):
     """The fused Pallas pair kernels (heavy-packed screener columns,
     interpret mode on CPU) must match the dense XLA pair phases."""

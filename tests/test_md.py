@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 DATA = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "data")
 
 

@@ -28,6 +28,7 @@ def test_eight_devices_present():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_pair_phases_match_dense(gaussvol_system):
     """AGBNP1 energy + forces with the pair phases row-sharded over an
     8-device atoms mesh equal the single-device dense path to f64 roundoff
