@@ -1,0 +1,86 @@
+"""Large-system scaling check: synthetic protein-like blobs beyond the
+shipped benchmark systems (the largest .dms is 2clr at 5983 atoms).
+
+Generates an N-atom pseudo-protein at protein-like density (~95 atoms/nm^3,
+~60% heavy), runs the AGBNP1 energy+forces pipeline through AGBNPModel
+(cell-grid neighbor build above 3k atoms) with the PanicButton retry loop,
+and times steady-state evaluations.
+
+Usage: python benchmarks/synthetic_scale.py [natoms ...]   (default 10240)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def synthetic_system(natoms: int, seed: int = 0):
+    """Protein-like random blob: uniform density ball, 60% heavy atoms with
+    AGBNP-like radii/charges, common gamma, hydrogens interleaved."""
+    rng = np.random.default_rng(seed)
+    density = 95.0  # atoms / nm^3, protein-like
+    radius_ball = (3.0 * natoms / (4.0 * np.pi * density)) ** (1.0 / 3.0)
+    # rejection-free uniform ball sampling
+    u = rng.uniform(size=natoms) ** (1.0 / 3.0)
+    v = rng.normal(size=(natoms, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = radius_ball * u[:, None] * v
+    ish = (rng.uniform(size=natoms) < 0.4).astype(np.int64)
+    radius = np.where(ish > 0, 0.125,
+                      rng.choice([0.15, 0.16, 0.17, 0.19], size=natoms))
+    gamma = np.where(ish > 0, 0.0, 48.9528)
+    alpha = np.where(ish > 0, -20.0, rng.uniform(-90.0, -40.0, size=natoms))
+    charge = rng.uniform(-0.4, 0.4, size=natoms)
+    charge -= charge.mean()
+    return pos, radius, gamma, alpha, charge, ish
+
+
+def run(natoms: int, repeats: int = 10):
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import AGBNPModel
+    from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+
+    pos, radius, gamma, alpha, charge, ish = synthetic_system(natoms)
+    params = AGBNPParams(radius=radius, gamma=gamma, alpha=alpha,
+                         charge=charge, ishydrogen=ish)
+    dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
+    t0 = time.time()
+    m = AGBNPModel(params, version=1, cutoff=1.0, dtype=dtype, positions=pos)
+    print(f"n={natoms} init {time.time()-t0:.1f}s "
+          f"grid={'on' if m.neighbor_grid is not None else 'off'} "
+          f"kmax={m.neighbor_kmax} caps={m.caps.caps}", flush=True)
+
+    t0 = time.time()
+    for _ in range(8):  # PanicButton loop
+        e, f, out = m.energy_forces(pos, with_details=True)
+        if not m.check_and_grow(out["diag"]):
+            break
+    jax.block_until_ready(f)
+    print(f"  first eval (incl compile) {time.time()-t0:.1f}s "
+          f"E={float(e):.2f}", flush=True)
+    assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
+
+    t0 = time.time()
+    for _ in range(repeats):
+        e, f = m.energy_forces(pos)
+    jax.block_until_ready(f)
+    dt = (time.time() - t0) / repeats
+    print(f"  steady-state eval {dt*1e3:.2f} ms", flush=True)
+    return dt
+
+
+if __name__ == "__main__":
+    sizes = [int(x) for x in sys.argv[1:]] or [10240]
+    for n in sizes:
+        run(n)

@@ -142,12 +142,17 @@ class MMForceField:
         )
         return MMForceField(arrays=a, cutoff=cutoff)
 
-    def energy(self, pos):
-        a = self.arrays
-        e = self.energy_bonded_and_14(pos)
-        e += dense_nonbonded_energy(pos, a["charge"], a["sigma"],
-                                    a["epsilon"], cutoff=self.cutoff,
-                                    excl_mask=self._excl_mask())
+    def energy(self, pos, a=None, excl_mask=None):
+        """Total MM energy.  `a`/`excl_mask` override the stored arrays so
+        the MD runners can pass them as jit ARGUMENTS — closing over the
+        host numpy arrays bakes them into the compiled graph as constants,
+        which multiplies compile time (XLA constant-folds [N, N]
+        subexpressions of them) and executable size."""
+        a = self.arrays if a is None else a
+        e = self.energy_bonded_and_14(pos, a)
+        e += dense_nonbonded_energy(
+            pos, a["charge"], a["sigma"], a["epsilon"], cutoff=self.cutoff,
+            excl_mask=self._excl_mask() if excl_mask is None else excl_mask)
         return e
 
     def _excl_mask(self):
@@ -160,11 +165,11 @@ class MMForceField:
             self._excl_mask_cache = m
         return self._excl_mask_cache
 
-    def energy_bonded_and_14(self, pos):
+    def energy_bonded_and_14(self, pos, a=None):
         """Bonded terms + 1-4 pairs — the non-dense part.  Used when the
         dense LJ/Coulomb sum rides the fused GB pair kernel with in-kernel
         exclusions (ops/pallas/pairs.py::gb_pair)."""
-        a = self.arrays
+        a = self.arrays if a is None else a
         e = bond_energy(pos, a["bond_idx"], a["bond_r0"], a["bond_k"])
         e += angle_energy(pos, a["angle_idx"], a["angle_theta0"], a["angle_k"])
         e += dihedral_energy(pos, a["dihedral_idx"], a["dihedral_phi0"],

@@ -119,8 +119,8 @@ class Simulation:
             self.constraints = Constraints.from_dms(dms)
 
     def _agbnp_force(self, pos, pairs=None, topology=None,
-                     mm_nb=None):
-        a = self.agbnp.arrays
+                     mm_nb=None, a=None):
+        a = self.agbnp.arrays if a is None else a
         if pairs is not None:
             a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
                  "pairs_valid": pairs[2]}
@@ -140,14 +140,33 @@ class Simulation:
             energy = energy + e_mm_nb
         return energy, out["force"], out["diag"]["counts"]
 
-    def force_fn(self, pairs=None, topology=None):
+    def ff_state(self):
+        """The force-field parameter pytree the MD runners take as a jit
+        ARGUMENT.  Closing over the host numpy arrays instead would bake
+        them into the compiled graph as constants — XLA then constant-folds
+        [N, N] parameter subexpressions at compile time, which multiplied
+        runner compile times and produced 60+ MB executables."""
+        ff = dict(a=self.agbnp.arrays)
+        if self.mm is not None:
+            ff["mm"] = self.mm.arrays
+            fuse_mm = self.agbnp.pair_kernel and self.agbnp.version == 1
+            if fuse_mm:
+                ff["mm_excl_rows"] = self.mm.excl_rows()
+            else:
+                ff["mm_excl_mask"] = self.mm._excl_mask()
+        return ff
+
+    def force_fn(self, pairs=None, topology=None, ff=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
 
         With the Pallas pair kernels active (AGBNP version 1), the MM dense
         LJ/Coulomb sum and its forces ride the fused GB sweep; only the
-        bonded terms and exclusion/1-4 corrections go through autodiff."""
+        bonded terms and exclusion/1-4 corrections go through autodiff.
+
+        ff: optional ff_state() pytree (may be traced); without it the
+        stored host arrays are used (and become graph constants)."""
         from .vsites import project_positions, spread_forces
 
         if self.agbnp2 is not None:
@@ -155,21 +174,27 @@ class Simulation:
 
         fuse_mm = (self.mm is not None and self.agbnp.pair_kernel
                    and self.agbnp.version == 1)
+        if ff is None:
+            ff = self.ff_state()
+        a = ff["a"]
+        mm_a = ff.get("mm")
         mm_nb = None
         if fuse_mm:
             import jax.numpy as _jnp
-            mm_nb = dict(sigma=self.mm.arrays["sigma"],
-                         epsq=self.mm.arrays["epsq"],
-                         excl_rows=_jnp.asarray(self.mm.excl_rows()))
+            mm_nb = dict(sigma=mm_a["sigma"], epsq=mm_a["epsq"],
+                         excl_rows=_jnp.asarray(ff["mm_excl_rows"]))
 
         def fn(pos):
             if self.vsites is not None:
                 pos = project_positions(pos, self.vsites)
             energy, force, counts = self._agbnp_force(pos, pairs, topology,
-                                                      mm_nb=mm_nb)
+                                                      mm_nb=mm_nb, a=a)
             if self.mm is not None:
-                mm_e = (self.mm.energy_bonded_and_14 if fuse_mm
-                        else self.mm.energy)
+                if fuse_mm:
+                    mm_e = partial(self.mm.energy_bonded_and_14, a=mm_a)
+                else:
+                    mm_e = partial(self.mm.energy, a=mm_a,
+                                   excl_mask=ff["mm_excl_mask"])
                 e_mm, g_mm = jax.value_and_grad(mm_e)(pos)
                 energy = energy + e_mm
                 force = force - g_mm
@@ -251,24 +276,30 @@ class Simulation:
             neighbor_every = 0  # v2 rebuilds everything per step
 
         if neighbor_every <= 0:
-            step = langevin_middle_step(self.force_fn(), masses, dt,
-                                        temperature, friction,
-                                        constraints=self.constraints)
-
             @partial(jax.jit, static_argnames=("nsteps",))
-            def run(pos, vel, key, nsteps: int):
+            def run_ff(ff, pos, vel, key, nsteps: int):
+                step = langevin_middle_step(self.force_fn(ff=ff), masses, dt,
+                                            temperature, friction,
+                                            constraints=self.constraints)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     step, (pos, vel, key), length=nsteps)
                 return pos, vel, key, energies, (jnp.max(counts, axis=0),
                                                  jnp.zeros((), jnp.int32),
                                                  jnp.zeros(7, jnp.int32))
 
+            def run(pos, vel, key, nsteps: int):
+                return run_ff(self.ff_state(), pos, vel, key, nsteps)
+
             return run
 
+        caps = self.agbnp.caps
+        roffset = self.agbnp.params.roffset
+
         @partial(jax.jit, static_argnames=("nsteps",))
-        def run(pos, vel, key, nsteps: int):
+        def run_ff(ff, pos, vel, key, nsteps: int):
             nouter, rem = divmod(nsteps, neighbor_every)
             assert rem == 0, "nsteps must be a multiple of neighbor_every"
+            a = ff["a"]
 
             def outer(carry, _):
                 pos, vel, key = carry
@@ -278,12 +309,11 @@ class Simulation:
                 sib_max = jnp.zeros(7, jnp.int32)
                 if rebuild_topology:
                     from ..ops import tree as _T
-                    gdr = self.agbnp.arrays["gamma"] / self.agbnp.params.roffset
-                    lvl1 = _T.make_level1(pos, self.agbnp.arrays["radii_large"],
-                                          self.agbnp.arrays["vol_large"], gdr,
-                                          self.agbnp.arrays["ishydrogen"])
-                    levels, bdiag = _T.build_tree(lvl1, pi, pj,
-                                                  self.agbnp.caps,
+                    gdr = a["gamma"] / roffset
+                    lvl1 = _T.make_level1(pos, a["radii_large"],
+                                          a["vol_large"], gdr,
+                                          a["ishydrogen"])
+                    levels, bdiag = _T.build_tree(lvl1, pi, pj, caps,
                                                   pairs_valid=pv,
                                                   relax=topology_relax,
                                                   pair_rows=True)
@@ -291,7 +321,7 @@ class Simulation:
                     build_counts = bdiag["counts"]
                     sib_max = bdiag["max_siblings"]
                 inner = langevin_middle_step(
-                    self.force_fn(pairs=(pi, pj, pv), topology=topo),
+                    self.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff),
                     masses, dt, temperature, friction,
                     constraints=self.constraints)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
@@ -307,19 +337,24 @@ class Simulation:
                     (jnp.max(counts, axis=0), jnp.max(nbmax),
                      jnp.max(sibs, axis=0)))
 
+        def run(pos, vel, key, nsteps: int):
+            return run_ff(self.ff_state(), pos, vel, key, nsteps)
+
         return run
 
     def make_verlet_runner(self, dt=0.001):
-        fn = self.force_fn()
-        step = velocity_verlet_step(fn, self.masses, dt,
-                                    constraints=self.constraints)
-
         @partial(jax.jit, static_argnames=("nsteps",))
-        def run(pos, vel, nsteps: int):
+        def run_ff(ff, pos, vel, nsteps: int):
+            fn = self.force_fn(ff=ff)
+            step = velocity_verlet_step(fn, self.masses, dt,
+                                        constraints=self.constraints)
             _, force, _ = fn(pos)
             (pos, vel, force), (pe, ke, _) = jax.lax.scan(
                 step, (pos, vel, force), length=nsteps)
             return pos, vel, pe, ke
+
+        def run(pos, vel, nsteps: int):
+            return run_ff(self.ff_state(), pos, vel, nsteps)
 
         return run
 

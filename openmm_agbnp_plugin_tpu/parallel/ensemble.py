@@ -62,24 +62,25 @@ class ReplicaEnsemble:
         sim = self.sim
 
         if neighbor_every <= 0:
-            step = langevin_middle_step(sim.force_fn(), sim.masses, dt,
-                                        temperature, friction,
-                                        constraints=sim.constraints)
-
-            def replica_run(state, nsteps):
+            def replica_run(ff, state, nsteps):
+                step = langevin_middle_step(sim.force_fn(ff=ff), sim.masses,
+                                            dt, temperature, friction,
+                                            constraints=sim.constraints)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     step, state, length=nsteps)
                 return (pos, vel, key), (
                     energies, jnp.max(counts, axis=0),
                     jnp.zeros((), jnp.int32), jnp.zeros(7, jnp.int32))
 
-            vrun = jax.vmap(replica_run, in_axes=(0, None))
+            vrun = jax.vmap(replica_run, in_axes=(None, 0, None))
 
             @partial(jax.jit, static_argnames=("nsteps",),
-                     in_shardings=(self.rep_sharding,),
                      out_shardings=(self.rep_sharding, self.rep_sharding))
+            def run_ff(ff, states, nsteps: int):
+                return vrun(ff, states, nsteps)
+
             def run(states, nsteps: int):
-                return vrun(states, nsteps)
+                return run_ff(sim.ff_state(), states, nsteps)
 
             return run
 
@@ -87,21 +88,19 @@ class ReplicaEnsemble:
 
         heavy, rcut, kmax = sim.heavy_mask, sim.rcut_list, sim.kmax
         nbfn = sim.neighbor_fn
-        a = sim.agbnp.arrays
-        gdr = a["gamma"] / sim.agbnp.params.roffset
+        roffset = sim.agbnp.params.roffset
 
-        def outer(carry, _, ninner):
+        def outer(carry, _, ninner, ff):
             pos, vel, key = carry
+            a = ff["a"]
             pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
-            lvl1 = _T.make_level1(pos, jnp.asarray(a["radii_large"]),
-                                  jnp.asarray(a["vol_large"]),
-                                  jnp.asarray(gdr),
-                                  jnp.asarray(a["ishydrogen"]))
+            lvl1 = _T.make_level1(pos, a["radii_large"], a["vol_large"],
+                                  a["gamma"] / roffset, a["ishydrogen"])
             levels, bdiag = _T.build_tree(lvl1, pi, pj, sim.agbnp.caps,
                                           pairs_valid=pv, pair_rows=True)
             topo = _T.tree_topology(levels)
             inner = langevin_middle_step(
-                sim.force_fn(pairs=(pi, pj, pv), topology=topo),
+                sim.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff),
                 sim.masses, dt, temperature, friction,
                 constraints=sim.constraints)
             (pos, vel, key), (energies, counts) = jax.lax.scan(
@@ -112,22 +111,24 @@ class ReplicaEnsemble:
             return (pos, vel, key), (energies, maxcounts, nbmax,
                                      bdiag["max_siblings"])
 
-        def replica_run(state, nouter, ninner):
+        def replica_run(ff, state, nouter, ninner):
             state, (energies, counts, nbmax, sibs) = jax.lax.scan(
-                partial(outer, ninner=ninner), state, length=nouter)
+                partial(outer, ninner=ninner, ff=ff), state, length=nouter)
             return state, (energies.reshape(-1), jnp.max(counts, axis=0),
                            jnp.max(nbmax), jnp.max(sibs, axis=0))
 
-        vrun = jax.vmap(replica_run, in_axes=(0, None, None))
+        vrun = jax.vmap(replica_run, in_axes=(None, 0, None, None))
 
         @partial(jax.jit, static_argnames=("nsteps",),
-                 in_shardings=(self.rep_sharding,),
                  out_shardings=(self.rep_sharding, self.rep_sharding))
-        def run(states, nsteps: int):
+        def run_ff(ff, states, nsteps: int):
             ne = neighbor_every if nsteps >= neighbor_every else nsteps
             nouter, rem = divmod(nsteps, ne)
             assert rem == 0, "nsteps must be a multiple of neighbor_every"
-            return vrun(states, nouter, ne)
+            return vrun(ff, states, nouter, ne)
+
+        def run(states, nsteps: int):
+            return run_ff(sim.ff_state(), states, nsteps)
 
         return run
 
