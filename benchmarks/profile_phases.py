@@ -79,7 +79,7 @@ def main():
     # per-step gamma rescan pass
     def _passes(p):
         out = tree_passes(a2, p, caps, roffset, topology=topo)
-        return out[2], out[3][1], out[4]
+        return out[2], out[3], out[4]
     self_volume, levels_vdw, lvl1_vdw = jax.jit(_passes)(pos)
 
     def gamma_pass(p, gamma_WU):
@@ -113,7 +113,27 @@ def main():
         return (gb["gb_self"] + gb["gb_pair"] + e_vdw,
                 gb["force"] + sweep["force"],
                 sweep["evdw_der_W"] + sweep["egb_der_U"])
-    print(f"pair phases total: {timeit(jax.jit(pair_all), pos, s_factor):.3f} ms")
+    print(f"pair phases total (XLA): {timeit(jax.jit(pair_all), pos, s_factor):.3f} ms")
+
+    # the production TPU path: fused Pallas pair kernels
+    if sim.agbnp.pair_kernel:
+        from openmm_agbnp_plugin_tpu.models.agbnp_jax import (
+            _pair_phases_pallas)
+
+        def pair_pallas(p, s):
+            pp = _pair_phases_pallas(a, p, sim.agbnp.cutoff, None,
+                                     sim.agbnp.pair_pad,
+                                     sim.agbnp.pair_interpret)(
+                s, a["radii_vdw"], a["charge"], a["alpha"])
+            return pp["gb_self"] + pp["gb_pair"] + pp["e_vdw"], \
+                pp["pair_force"], pp["evdw_der_W"] + pp["egb_der_U"]
+        print(f"pair phases total (Pallas): "
+              f"{timeit(jax.jit(pair_pallas), pos, s_factor):.3f} ms")
+
+    if sim.mm is not None:
+        def mm_bonded(p):
+            return jax.value_and_grad(sim.mm.energy_bonded_and_14)(p)
+        print(f"MM bonded+14 forces: {timeit(jax.jit(mm_bonded), pos):.3f} ms")
 
     # full AGBNP force (fixed topology) and full MD step pieces
     def agbnp_full(p):

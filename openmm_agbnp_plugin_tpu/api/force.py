@@ -189,6 +189,20 @@ class Context:
 
     def setPositions(self, positions):
         self._positions = np.asarray(positions, dtype=np.float64)
+        if self._box is not None:
+            # The overlap tree uses raw deltas (like every reference
+            # backend): overlaps span <~0.7 nm and assume an unwrapped
+            # solute.  Coordinates wrapped across the periodic boundary
+            # would silently break the cavity term, so guard on extent.
+            extent = self._positions.max(axis=0) - self._positions.min(axis=0)
+            if (extent > 0.75 * np.diag(self._box)).any():
+                import warnings
+                warnings.warn(
+                    "solute extent approaches the periodic box; if the "
+                    "coordinates are wrapped across the boundary the "
+                    "cavity (overlap-tree) term will be wrong — provide "
+                    "unwrapped solute coordinates (the pair phases alone "
+                    "use minimum-image)", RuntimeWarning)
 
     def getEnergyForces(self):
         """Evaluate; retries through the PanicButton resize loop if the

@@ -297,8 +297,7 @@ class Simulation:
 
         @partial(jax.jit, static_argnames=("nsteps",))
         def run_ff(ff, pos, vel, key, nsteps: int):
-            nouter, rem = divmod(nsteps, neighbor_every)
-            assert rem == 0, "nsteps must be a multiple of neighbor_every"
+            nouter = nsteps // neighbor_every
             a = ff["a"]
 
             def outer(carry, _):
@@ -338,6 +337,10 @@ class Simulation:
                      jnp.max(sibs, axis=0)))
 
         def run(pos, vel, key, nsteps: int):
+            if nsteps % neighbor_every:
+                raise ValueError(
+                    f"nsteps ({nsteps}) must be a multiple of "
+                    f"neighbor_every ({neighbor_every})")
             return run_ff(self.ff_state(), pos, vel, key, nsteps)
 
         return run

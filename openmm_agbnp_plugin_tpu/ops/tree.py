@@ -398,14 +398,34 @@ def rescan_volumes(levels, level1):
 
 def rescan_gammas(levels, level1):
     """Propagate new per-atom gammas down the fixed topology
-    (rescan_tree_g, gaussvol.cpp:330-372)."""
+    (rescan_tree_g, gaussvol.cpp:330-372).
+
+    TPU layout note: the chain runs as 8-channel rows (gamma in column 0,
+    zeros alongside) because a sublane-tiled [rows, 8] gather costs about
+    half a scalar [rows] gather per row on this runtime (measured in-scan);
+    the zero columns ride free."""
+    n = level1["gamma1i"].shape[0]
+    dtype = level1["gamma1i"].dtype
+    gam8 = jnp.concatenate([level1["gamma1i"][:, None],
+                            jnp.zeros((n, 7), dtype)], axis=1)
     new_levels = []
-    parent_gamma = level1["gamma1i"]
+    pg = gam8
     for lvl in levels:
-        g = parent_gamma[lvl["parent"]] + level1["gamma1i"][lvl["atom"]]
-        new_levels.append({**lvl, "gamma1i": g})
-        parent_gamma = g
+        g8 = pg[lvl["parent"]] + gam8[lvl["atom"]]
+        new_levels.append({**lvl, "gamma1i": g8[:, 0]})
+        pg = g8
     return tuple(new_levels)
+
+
+def _pad8(x):
+    """Zero-pad the channel axis to a multiple of 8: segment-sum scatters
+    cost per ROW on TPU, and an 8-channel (full-sublane) row moves at
+    ~0.6x the per-row cost of narrower ones (measured in-scan)."""
+    pad = (-x.shape[1]) % 8
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((x.shape[0], pad), x.dtype)], axis=1)
 
 
 def reduce_tree(levels, level1, with_selfvol: bool = True,
@@ -494,9 +514,10 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
             tot[:, 5:],                        # sv/fv psi pass through
         ], axis=1) * vmask[:, None]
         num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
-        acc = jax.ops.segment_sum(up, lvl["parent"], num_segments=num_parents)
+        acc = jax.ops.segment_sum(_pad8(up), lvl["parent"],
+                                  num_segments=num_parents)[:, :n_up]
 
-    deposits = jax.ops.segment_sum(jnp.concatenate(dep_rows, axis=0),
+    deposits = jax.ops.segment_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
                                    jnp.concatenate(dep_atoms, axis=0),
                                    num_segments=natoms)
 
@@ -610,9 +631,10 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
 
         up = jnp.concatenate(ups, axis=1) * vmask[:, None]
         num_parents = natoms if l == 0 else levels_a[l - 1]["valid"].shape[0]
-        acc = jax.ops.segment_sum(up, la["parent"], num_segments=num_parents)
+        acc = jax.ops.segment_sum(_pad8(up), la["parent"],
+                                  num_segments=num_parents)[:, :up.shape[1]]
 
-    deposits = jax.ops.segment_sum(jnp.concatenate(dep_rows, axis=0),
+    deposits = jax.ops.segment_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
                                    jnp.concatenate(dep_atoms, axis=0),
                                    num_segments=natoms)
 

@@ -123,11 +123,15 @@ class ReplicaEnsemble:
                  out_shardings=(self.rep_sharding, self.rep_sharding))
         def run_ff(ff, states, nsteps: int):
             ne = neighbor_every if nsteps >= neighbor_every else nsteps
-            nouter, rem = divmod(nsteps, ne)
-            assert rem == 0, "nsteps must be a multiple of neighbor_every"
+            nouter = nsteps // ne
             return vrun(ff, states, nouter, ne)
 
         def run(states, nsteps: int):
+            ne = neighbor_every if nsteps >= neighbor_every else nsteps
+            if nsteps % ne:
+                raise ValueError(
+                    f"nsteps ({nsteps}) must be a multiple of "
+                    f"neighbor_every ({neighbor_every})")
             return run_ff(sim.ff_state(), states, nsteps)
 
         return run
