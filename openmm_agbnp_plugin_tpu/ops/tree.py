@@ -182,7 +182,18 @@ def _compact(mask, cand_dat, cand_ints, cap, parent_cap):
 
     dat = jnp.where(valid[:, None], cand_dat[idx], 0.0)
     ints = jnp.where(valid[:, None], cand_ints[idx], 0)
-    return _level_views(dat, ints, valid), count
+    lvl = _level_views(dat, ints, valid)
+    # segment boundaries of the packed (parent-sorted) layout, so the
+    # upward reductions use the same scan-based path as _compact_rows
+    cnt = jax.ops.segment_sum(valid.astype(jnp.int32), lvl["parent"],
+                              num_segments=parent_cap)
+    ends = jnp.cumsum(cnt)
+    marks = jnp.zeros(cap, jnp.int32).at[ends - cnt].add(1, mode="drop")
+    lvl["bnd"] = dict(start=marks > 0, ends=jnp.maximum(ends - 1, 0),
+                      nonempty=cnt > 0,
+                      pmono=jax.lax.cummax(
+                          jnp.where(valid, lvl["parent"], 0)))
+    return lvl, count
 
 
 def _survive_mask(dat, sgvol, relax):
@@ -218,9 +229,12 @@ def _compact_rows(key, mask, cap):
     (parent asc, volume desc) order without any O(rows*width) scatter/gather:
     one vectorized per-row sort + O(rows) scatter + O(cap) gathers).
 
-    Returns (row_of_slot, off_of_slot, valid, count) where off is the
-    within-row candidate offset, so the flat candidate index is
-    row * width + off.
+    Returns (row_of_slot, off_of_slot, valid, count, cnt, bnd) where off is
+    the within-row candidate offset, so the flat candidate index is
+    row * width + off.  bnd carries the per-parent segment boundaries of the
+    packed layout (start flags, last-slot index, nonempty mask) — free
+    byproducts of the compaction that _sorted_segment_sum consumes for the
+    scan-based upward reductions.
     """
     rows, width = key.shape
     iw = jnp.arange(width, dtype=jnp.int32)
@@ -240,7 +254,12 @@ def _compact_rows(key, mask, cap):
     pos = slot - starts[row]
     off = off_sorted.reshape(-1)[row * width + jnp.clip(pos, 0, width - 1)]
     valid = slot < count
-    return row, off, valid, count, cnt
+    # row is monotone nondecreasing over ALL slots (including the invalid
+    # tail), so it doubles as the sorted segment-id vector for the upward
+    # reductions (invalid rows carry zero data)
+    bnd = dict(start=marks > 0, ends=jnp.maximum(ends - 1, 0),
+               nonempty=cnt > 0, pmono=row)
+    return row, off, valid, count, cnt, bnd
 
 
 def _build_sibling_level(prev_lvl, prev_a6, level1, offs, cap, relax):
@@ -267,14 +286,16 @@ def _build_sibling_level(prev_lvl, prev_a6, level1, offs, cap, relax):
                            dat_s[:, None, 2:5], dat_s[:, 11:12], win_a)
     mask = pair_ok & _survive_mask(dat, sgvol, relax)
 
-    row, off, valid, count, cnt = _compact_rows(dat[:, :, 5], mask, cap)
+    row, off, valid, count, cnt, bnd = _compact_rows(dat[:, :, 5], mask, cap)
     idx = row * offs + off
     out_dat = jnp.where(valid[:, None], dat.reshape(cap_prev * offs, _D)[idx],
                         0.0)
     atom2 = jnp.where(valid, win_i[:, :, 0].reshape(-1)[idx], 0)
     ints = jnp.stack([atom2, jnp.where(valid, row, 0)], axis=1)     .astype(jnp.int32)
     a6 = level1["_at"][atom2]
-    return _level_views(out_dat, ints, valid), a6, count, jnp.max(cnt)
+    lvl = _level_views(out_dat, ints, valid)
+    lvl["bnd"] = bnd
+    return lvl, a6, count, jnp.max(cnt)
 
 
 def _build_pair_level(level1, pj2d, pv2d, cap, relax):
@@ -290,13 +311,15 @@ def _build_pair_level(level1, pj2d, pv2d, cap, relax):
     if pv2d is not None:
         mask = mask & pv2d
 
-    row, off, valid, count, cnt = _compact_rows(dat[:, :, 5], mask, cap)
+    row, off, valid, count, cnt, bnd = _compact_rows(dat[:, :, 5], mask, cap)
     idx = row * kmax + off
     out_dat = jnp.where(valid[:, None], dat.reshape(n * kmax, _D)[idx], 0.0)
     atom2 = jnp.where(valid, pj2d.reshape(-1)[idx], 0)
     ints = jnp.stack([atom2, jnp.where(valid, row, 0)], axis=1)     .astype(jnp.int32)
     a6 = at[atom2]
-    return _level_views(out_dat, ints, valid), a6, count, jnp.max(cnt)
+    lvl = _level_views(out_dat, ints, valid)
+    lvl["bnd"] = bnd
+    return lvl, a6, count, jnp.max(cnt)
 
 
 def _max_siblings(level, parent_cap):
@@ -366,12 +389,37 @@ def check_overflow(diag) -> dict:
                 any=bool(cap_overflow.any() or sib_overflow.any()))
 
 
+def _upward_segment_sum(x, lvl, num_parents):
+    """The per-level child -> parent reduction of x [cap, C].
+
+    When the level carries build boundaries (bnd), the monotone segment-id
+    vector pmono lets XLA use the sorted-scatter lowering
+    (indices_are_sorted), which is markedly cheaper than the unsorted
+    scatter at large parent counts.  (A segmented associative-scan variant
+    was measured at 2x the sorted scatter's cost on this runtime — see
+    benchmarks/micro_segsum.py — so scatter it is.)  Invalid tail rows
+    carry zero data, so their carried-forward segment ids are harmless."""
+    if "bnd" in lvl:
+        return jax.ops.segment_sum(x, lvl["bnd"]["pmono"],
+                                   num_segments=num_parents,
+                                   indices_are_sorted=True)
+    return jax.ops.segment_sum(x, lvl["parent"], num_segments=num_parents)
+
+
 def tree_topology(levels):
     """Extract the shape-static topology (indices + validity) of a built
     tree; rescan_volumes reconstructs full levels from it, so the MD loop
-    can carry just these small int arrays between rebuilds."""
-    return tuple(dict(_ints=l["_ints"], valid=l["valid"], atom=l["atom"],
-                      parent=l["parent"]) for l in levels)
+    can carry just these small int arrays between rebuilds.  The build's
+    segment boundaries ride along so the fixed-topology reduces keep the
+    scan-based upward reduction."""
+    out = []
+    for l in levels:
+        d = dict(_ints=l["_ints"], valid=l["valid"], atom=l["atom"],
+                 parent=l["parent"])
+        if "bnd" in l:
+            d["bnd"] = l["bnd"]
+        out.append(d)
+    return tuple(out)
 
 
 def rescan_volumes(levels, level1):
@@ -391,7 +439,10 @@ def rescan_volumes(levels, level1):
         g0, g1, gc0, gg = cols
         dat, _ = _cand_dat(sp[:, g0], sp[:, g1], sp[:, gc0:gc0 + 3],
                            sp[:, gg], level1["_at"][lvl["atom"]])
-        new_levels.append(_level_views(dat, lvl["_ints"], lvl["valid"]))
+        nl = _level_views(dat, lvl["_ints"], lvl["valid"])
+        if "bnd" in lvl:
+            nl["bnd"] = lvl["bnd"]
+        new_levels.append(nl)
         prev_dat, cols = dat, (0, 1, 2, 11)
     return tuple(new_levels)
 
@@ -514,8 +565,7 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
             tot[:, 5:],                        # sv/fv psi pass through
         ], axis=1) * vmask[:, None]
         num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
-        acc = jax.ops.segment_sum(_pad8(up), lvl["parent"],
-                                  num_segments=num_parents)[:, :n_up]
+        acc = _upward_segment_sum(_pad8(up), lvl, num_parents)[:, :n_up]
 
     deposits = jax.ops.segment_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
                                    jnp.concatenate(dep_atoms, axis=0),
@@ -568,8 +618,13 @@ def rescan_volumes2(levels, level1_a, level1_b):
                              sp[:, gag], a2[:, 0:6])
         dat_b, _ = _cand_dat(sp[:, gb0], sp[:, gb1], sp[:, gbc:gbc + 3],
                              sp[:, gbg], a2[:, 6:12])
-        out_a.append(_level_views(dat_a, lvl["_ints"], lvl["valid"]))
-        out_b.append(_level_views(dat_b, lvl["_ints"], lvl["valid"]))
+        la = _level_views(dat_a, lvl["_ints"], lvl["valid"])
+        lb = _level_views(dat_b, lvl["_ints"], lvl["valid"])
+        if "bnd" in lvl:
+            la["bnd"] = lvl["bnd"]
+            lb["bnd"] = lvl["bnd"]
+        out_a.append(la)
+        out_b.append(lb)
         prev = jnp.concatenate([dat_a, dat_b], axis=1)  # [cap, 2*_D]
         prev_cols = ((0, 1, 2, 11), (_D, _D + 1, _D + 2, _D + 11))
     return tuple(out_a), tuple(out_b)
@@ -631,8 +686,7 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
 
         up = jnp.concatenate(ups, axis=1) * vmask[:, None]
         num_parents = natoms if l == 0 else levels_a[l - 1]["valid"].shape[0]
-        acc = jax.ops.segment_sum(_pad8(up), la["parent"],
-                                  num_segments=num_parents)[:, :up.shape[1]]
+        acc = _upward_segment_sum(_pad8(up), la, num_parents)[:, :up.shape[1]]
 
     deposits = jax.ops.segment_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
                                    jnp.concatenate(dep_atoms, axis=0),

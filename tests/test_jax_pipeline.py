@@ -48,6 +48,38 @@ def test_agbnp1_parity(gaussvol_system, model_v1):
     np.testing.assert_allclose(np.array(f), f_o, atol=1e-9)
 
 
+def test_sorted_segment_reduce_matches_scatter(gaussvol_system, model_v1):
+    """The scan-based upward reduction (bnd path, used on TPU because
+    scatter cost grows with the segment space) must agree with the plain
+    segment-sum scatter path on a real build."""
+    from openmm_agbnp_plugin_tpu.ops.tree import (
+        build_tree, make_level1, reduce_tree,
+    )
+
+    params, pos = gaussvol_system
+    m = model_v1
+    gdr = jnp.asarray(m.arrays["gamma"]) / params.roffset
+    lvl1 = make_level1(jnp.asarray(pos),
+                       jnp.asarray(m.arrays["radii_large"]),
+                       jnp.asarray(m.arrays["vol_large"]), gdr,
+                       jnp.asarray(m.arrays["ishydrogen"]))
+    levels, _ = build_tree(lvl1, jnp.asarray(m.arrays["pairs_i"]),
+                           jnp.asarray(m.arrays["pairs_j"]), m.caps,
+                           pairs_valid=jnp.asarray(m.arrays["pairs_valid"]))
+    assert all("bnd" in l for l in levels)
+    red_scan = reduce_tree(levels, lvl1, with_selfvol=True)
+    stripped = tuple({k: v for k, v in l.items() if k != "bnd"}
+                     for l in levels)
+    red_scat = reduce_tree(stripped, lvl1, with_selfvol=True)
+    np.testing.assert_allclose(float(red_scan["energy"]),
+                               float(red_scat["energy"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(red_scan["dr"]),
+                               np.asarray(red_scat["dr"]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(red_scan["self_volume"]),
+                               np.asarray(red_scat["self_volume"]),
+                               atol=1e-10)
+
+
 @pytest.mark.slow
 def test_agbnp1_forces_equal_autodiff(gaussvol_system, model_v1):
     """The hand-derived analytic force chain must equal jax.grad through the
