@@ -123,8 +123,7 @@ def main():
         def pair_pallas(p, s):
             pp = _pair_phases_pallas(a, p, sim.agbnp.cutoff, None,
                                      sim.agbnp.pair_pad,
-                                     sim.agbnp.pair_interpret)(
-                s, a["radii_vdw"], a["charge"], a["alpha"])
+                                     sim.agbnp.pair_interpret)(s)
             return pp["gb_self"] + pp["gb_pair"] + pp["e_vdw"], \
                 pp["pair_force"], pp["evdw_der_W"] + pp["egb_der_U"]
         print(f"pair phases total (Pallas): "

@@ -151,7 +151,13 @@ class Simulation:
             ff["mm"] = self.mm.arrays
             fuse_mm = self.agbnp.pair_kernel and self.agbnp.version == 1
             if fuse_mm:
-                ff["mm_excl_rows"] = self.mm.excl_rows()
+                # exclusion lists in the pair kernels' Morton-permuted row
+                # space (rows reordered, atom-id values remapped)
+                er = np.asarray(self.mm.excl_rows())
+                rperm = np.asarray(self.agbnp.arrays["rperm"])
+                rinv = np.asarray(self.agbnp.arrays["rinv"])
+                epm = np.where(er >= 0, rinv[np.clip(er, 0, None)], -1)
+                ff["mm_excl_rows_perm"] = epm[rperm].astype(np.int32)
             else:
                 ff["mm_excl_mask"] = self.mm._excl_mask()
         return ff
@@ -182,7 +188,8 @@ class Simulation:
         if fuse_mm:
             import jax.numpy as _jnp
             mm_nb = dict(sigma=mm_a["sigma"], epsq=mm_a["epsq"],
-                         excl_rows=_jnp.asarray(ff["mm_excl_rows"]))
+                         excl_rows_perm=_jnp.asarray(
+                             ff["mm_excl_rows_perm"]))
 
         def fn(pos):
             if self.vsites is not None:

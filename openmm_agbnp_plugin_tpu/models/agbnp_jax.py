@@ -79,9 +79,25 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         rowY, cols_oh = prepare_pair_tables(tables.type_screened,
                                             tables.type_screener,
                                             tables.yval, tables.y2val)
-        extra["rowY_pad"] = np.pad(rowY, ((0, pair_pad - n), (0, 0)))             .astype(dtype)
-        extra["charge_pad"] = np.pad(np.asarray(p.charge),
+        # Morton-order the ROW (screened-atom) axis of the pair kernels so
+        # tiles are spatially local on both axes and the out-of-range tile
+        # skips (2 nm LUT horizon, GB cutoff) fire on most far tiles.  The
+        # permutation is fixed at init; per-step the pair phases run in
+        # permuted space and the row outputs are gathered back (2 small
+        # [N]-row gathers).
+        if positions is not None and n > 1:
+            rperm = _morton_order(positions, np.arange(n))
+        else:
+            rperm = np.arange(n)
+        rinv = np.empty(n, np.int32)
+        rinv[rperm] = np.arange(n, dtype=np.int32)
+        extra["rperm"] = rperm.astype(np.int32)
+        extra["rinv"] = rinv
+        extra["rowY_pad"] = np.pad(rowY[rperm], ((0, pair_pad - n), (0, 0)))             .astype(dtype)
+        extra["charge_pad"] = np.pad(np.asarray(p.charge)[rperm],
                                      (0, pair_pad - n)).astype(dtype)
+        extra["radii_vdw_perm"] = np.asarray(p.radii_vdw)[rperm]             .astype(dtype)
+        extra["alpha_perm"] = np.asarray(p.alpha)[rperm].astype(dtype)
         # heavy-packed screener columns for the born/descreening kernels
         # (hydrogens never screen: type -1 / zero self-volume)
         hidx = np.nonzero(np.asarray(p.ishydrogen) == 0)[0]
@@ -90,7 +106,11 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         nhpad = pad_to(len(hidx), pick_tile(n))
         hids = np.full(nhpad, -1, np.int32)
         hids[:len(hidx)] = hidx
-        extra["hids_pad"] = hids
+        extra["hids_pad"] = hids  # atom-space ids (for scatters)
+        # perm-space ids for the kernels' self-pair (i == j) exclusion test
+        hids_perm = np.full(nhpad, -1, np.int32)
+        hids_perm[:len(hidx)] = rinv[hidx]
+        extra["hids_perm_pad"] = hids_perm
         extra["cols_oh_hpad"] = np.pad(
             cols_oh[hidx], ((0, nhpad - len(hidx)), (0, 0))).astype(dtype)
     return dict(
@@ -163,14 +183,23 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
     """Born/GB/descreening pair phases via the fused Pallas tile kernels
     (ops/pallas/pairs.py), replacing ops/born.py's dense [N, N] HBM
     formulation.  Returns the same quantities the XLA path produces.
-    The born/descreening screener axis is packed to heavy atoms only."""
+
+    The whole pair-phase block runs in Morton-permuted row space (rperm,
+    fixed at init) so tiles are spatially local on both axes and the
+    out-of-range tile skips fire; the born/descreening screener axis is
+    packed to heavy atoms only.  Row outputs are gathered back to atom
+    order at the end."""
     from ..ops.pallas import pairs as PK
 
     n = pos.shape[0]
     tile = PK.pick_tile(n)
     boxv = None if box is None else tuple(float(x) for x in np.asarray(box))
-    pos_pad = jnp.pad(pos, ((0, pair_pad - n), (0, 0))).T  # [3, NP]
-    hids = a["hids_pad"]
+    rperm = a["rperm"]
+    rinv = a["rinv"]
+    pos_p = pos[rperm]
+    pos_pad = jnp.pad(pos_p, ((0, pair_pad - n), (0, 0))).T  # [3, NP]
+    hids = a["hids_pad"]            # atom-space (scatters)
+    hids_k = a["hids_perm_pad"]     # perm-space (kernel self-pair test)
     hvalid = hids >= 0
     hclip = jnp.clip(hids, 0)
     pos_hpad = (pos[hclip] * hvalid[:, None]).T  # [3, NHP]
@@ -185,47 +214,51 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
         return jnp.zeros(n, xh.dtype).at[hclip].add(
             jnp.where(hvalid, xh, 0.0))
 
-    def run(s_factor, radii_vdw, charge, alpha, mm_nb=None):
+    def run(s_factor, mm_nb=None):
         s_h = hpack(s_factor)
-        raw = PK.born_sums(pos_pad, pos_hpad, hids, a["rowY_pad"],
+        raw = PK.born_sums(pos_pad, pos_hpad, hids_k, a["rowY_pad"],
                            a["cols_oh_hpad"], s_h,
                            n, tile, box=boxv, interpret=pair_interpret)
         from ..models.constants import PIFAC
-        beta = 1.0 / radii_vdw - PIFAC * raw[:n]
+        # perm-space per-atom chain: Born radii, GB self, vdW dispersion
+        beta = 1.0 / a["radii_vdw_perm"] - PIFAC * raw[:n]
         filt, fp = B.agbnp_swf_invbr(beta)
-        br = 1.0 / filt
+        br_p = 1.0 / filt
+        charge_p = a["charge_pad"][:n]
 
         sig_pad = epsq_pad = excl_pad = None
         if mm_nb is not None:
-            sig_pad = padv(mm_nb["sigma"])
-            epsq_pad = padv(mm_nb["epsq"])
-            excl_pad = jnp.pad(mm_nb["excl_rows"],
+            sig_pad = padv(mm_nb["sigma"][rperm])
+            epsq_pad = padv(mm_nb["epsq"][rperm])
+            excl_pad = jnp.pad(mm_nb["excl_rows_perm"],
                                ((0, pair_pad - n), (0, 0)),
                                constant_values=-1)
         erow, yrow, gbf, mmrow = PK.gb_pair(pos_pad, a["charge_pad"],
-                                            padv(br),
+                                            padv(br_p),
                                             n, tile, box=boxv, cutoff=cutoff,
                                             sig_pad=sig_pad,
                                             epsq_pad=epsq_pad,
                                             excl_rows_pad=excl_pad,
                                             interpret=pair_interpret)
         from ..models.constants import DIELECTRIC_FACTOR
-        gb_self = jnp.sum(DIELECTRIC_FACTOR * charge * charge / br)
+        gb_self = jnp.sum(DIELECTRIC_FACTOR * charge_p * charge_p / br_p)
         gb_pair_e = jnp.sum(erow[:n])
         egb_der_Y = yrow[:n]
-        e_vdw = B.vdw_energy(alpha, br)
+        e_vdw = B.vdw_energy(a["alpha_perm"], br_p)
 
         evdw_der_brw, egb_der_bru = B.born_chain_factors(
-            alpha, charge, br, fp, egb_der_Y)
+            a["alpha_perm"], charge_p, br_p, fp, egb_der_Y)
         w_h, u_h, swf_r, swf_c = PK.descreening(
-            pos_pad, pos_hpad, hids, a["rowY_pad"], a["cols_oh_hpad"],
+            pos_pad, pos_hpad, hids_k, a["rowY_pad"], a["cols_oh_hpad"],
             s_h, padv(evdw_der_brw), padv(egb_der_bru), n, tile, box=boxv,
             interpret=pair_interpret)
         swf_cols = jnp.zeros((n, 3), swf_c.dtype).at[hclip].add(
             jnp.where(hvalid[:, None], swf_c, 0.0))
+        # back to atom order: row-side force and Born radii
+        row_force = (gbf[:n] + swf_r[:n])[rinv]
         out = dict(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
-                   born_radius=br,
-                   pair_force=gbf[:n] + swf_r[:n] + swf_cols,
+                   born_radius=br_p[rinv],
+                   pair_force=row_force + swf_cols,
                    evdw_der_W=hscatter(w_h), egb_der_U=hscatter(u_h))
         if mm_nb is not None:
             out["e_mm_nb"] = 0.5 * jnp.sum(mmrow[:n])
@@ -281,8 +314,7 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     e_mm_nb = None
     if pair_pad > 0:
         pp = _pair_phases_pallas(a, pos, cutoff, box, pair_pad,
-                                 pair_interpret)(
-            s_factor, a["radii_vdw"], a["charge"], a["alpha"], mm_nb=mm_nb)
+                                 pair_interpret)(s_factor, mm_nb=mm_nb)
         gb_self, gb_pair_e, e_vdw = pp["gb_self"], pp["gb_pair"], pp["e_vdw"]
         br = pp["born_radius"]
         pair_force = pp["pair_force"]

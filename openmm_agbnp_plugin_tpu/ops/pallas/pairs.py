@@ -229,70 +229,63 @@ def _gb_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
     if cutoff is not None:
         mask = mask & (d2 < cutoff * cutoff)
     dt = dx.dtype
-    fm = mask.astype(dt)
-
-    # sanitize masked pairs (padded atoms have B=0): keep etij finite so
-    # NaNs cannot leak through multiplications with the zeroed fgb
-    bb = br[0][:, None] * bc[0][None, :]
-    bb_safe = jnp.where(mask, bb, 1.0)
-    etij = jnp.exp(-0.25 * jnp.where(mask, d2, 0.0) / bb_safe)
-    inv = jax.lax.rsqrt(jnp.where(mask, d2 + bb * etij, 1.0))
-    fgb = fm * inv
-    qq_f = qr[0][:, None] * qc[0][None, :]
-    qq = DIELECTRIC_FACTOR * qq_f
-
-    epart = jnp.sum(qq * fgb, axis=1)
-    fgb3 = fgb * fgb * fgb
-    mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
-    ypart = jnp.sum(qq_f * (bb + 0.25 * d2) * etij * fgb3, axis=1)
-
-    if with_mm:
-        # OPLS LJ (geometric rules) + Coulomb riding the same tile geometry
-        # (the dense sum of md/forces.py).  Excluded pairs are skipped
-        # IN-KERNEL via the per-row exclusion lists: subtracting them
-        # outside (computed by a different op sequence) would leave f32
-        # cancellation residue of the huge bonded-pair LJ terms
-        ex = exr[...]  # [TI, E]
-        excluded = jnp.zeros_like(mask)
-        for e in range(ex.shape[1]):
-            excluded = excluded | (ex[:, e][:, None] == gj)
-        fmm = fm * (~excluded).astype(dt)
-        inv2 = fmm / jnp.where(mask, d2, 1.0)
-        sr2 = (sgr[0][:, None] * sgc[0][None, :]) * inv2
-        sr6 = sr2 * sr2 * sr2
-        epsij = epr[0][:, None] * epc[0][None, :]
-        rinv = fmm * jax.lax.rsqrt(jnp.where(mask, d2, 1.0))
-        ecoul = _KE * qq_f * rinv
-        elj = 4.0 * epsij * (sr6 * sr6 - sr6)
-        mmpart = jnp.sum(elj + ecoul, axis=1)
-        # dE/d(d2) summed once per pair from each row side -> force factor 2
-        dmm = (4.0 * epsij * (-6.0 * sr6 * sr6 + 3.0 * sr6)
-               - 0.5 * ecoul) * inv2
-        mw = mw + 2.0 * dmm
-
-    fxp = jnp.sum(dx * mw, axis=1)
-    fyp = jnp.sum(dy * mw, axis=1)
-    fzp = jnp.sum(dz * mw, axis=1)
 
     @pl.when(j == 0)
     def _():
-        erow[0, :] = epart
-        yrow[0, :] = ypart
-        fx[0, :] = fxp
-        fy[0, :] = fyp
-        fz[0, :] = fzp
-        if with_mm:
-            mmrow[0, :] = mmpart
+        for ref in (erow, yrow, fx, fy, fz) + ((mmrow,) if with_mm else ()):
+            ref[0, :] = jnp.zeros_like(ref[0, :])
 
-    @pl.when(j > 0)
+    # with a cutoff every pair term vanishes on fully-out-of-range tiles
+    # (fgb, mw, fmm all carry the mask factor), so they skip the tile body
+    # entirely — with Morton-ordered atoms most far tiles do
+    @pl.when(jnp.any(mask))
     def _():
+        fm = mask.astype(dt)
+        # sanitize masked pairs (padded atoms have B=0): keep etij finite so
+        # NaNs cannot leak through multiplications with the zeroed fgb
+        bb = br[0][:, None] * bc[0][None, :]
+        bb_safe = jnp.where(mask, bb, 1.0)
+        etij = jnp.exp(-0.25 * jnp.where(mask, d2, 0.0) / bb_safe)
+        inv = jax.lax.rsqrt(jnp.where(mask, d2 + bb * etij, 1.0))
+        fgb = fm * inv
+        qq_f = qr[0][:, None] * qc[0][None, :]
+        qq = DIELECTRIC_FACTOR * qq_f
+
+        epart = jnp.sum(qq * fgb, axis=1)
+        fgb3 = fgb * fgb * fgb
+        mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
+        ypart = jnp.sum(qq_f * (bb + 0.25 * d2) * etij * fgb3, axis=1)
+
+        if with_mm:
+            # OPLS LJ (geometric rules) + Coulomb riding the same tile
+            # geometry (the dense sum of md/forces.py).  Excluded pairs are
+            # skipped IN-KERNEL via the per-row exclusion lists: subtracting
+            # them outside (computed by a different op sequence) would leave
+            # f32 cancellation residue of the huge bonded-pair LJ terms
+            ex = exr[...]  # [TI, E]
+            excluded = jnp.zeros_like(mask)
+            for e in range(ex.shape[1]):
+                excluded = excluded | (ex[:, e][:, None] == gj)
+            fmm = fm * (~excluded).astype(dt)
+            inv2 = fmm / jnp.where(mask, d2, 1.0)
+            sr2 = (sgr[0][:, None] * sgc[0][None, :]) * inv2
+            sr6 = sr2 * sr2 * sr2
+            epsij = epr[0][:, None] * epc[0][None, :]
+            rinv = fmm * jax.lax.rsqrt(jnp.where(mask, d2, 1.0))
+            ecoul = _KE * qq_f * rinv
+            elj = 4.0 * epsij * (sr6 * sr6 - sr6)
+            mmpart = jnp.sum(elj + ecoul, axis=1)
+            # dE/d(d2) summed once per pair from each row side -> factor 2
+            dmm = (4.0 * epsij * (-6.0 * sr6 * sr6 + 3.0 * sr6)
+                   - 0.5 * ecoul) * inv2
+            mw = mw + 2.0 * dmm
+            mmrow[0, :] = mmrow[0, :] + mmpart
+
         erow[0, :] = erow[0, :] + epart
         yrow[0, :] = yrow[0, :] + ypart
-        fx[0, :] = fx[0, :] + fxp
-        fy[0, :] = fy[0, :] + fyp
-        fz[0, :] = fz[0, :] + fzp
-        if with_mm:
-            mmrow[0, :] = mmrow[0, :] + mmpart
+        fx[0, :] = fx[0, :] + jnp.sum(dx * mw, axis=1)
+        fy[0, :] = fy[0, :] + jnp.sum(dy * mw, axis=1)
+        fz[0, :] = fz[0, :] + jnp.sum(dz * mw, axis=1)
 
 
 def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,

@@ -389,6 +389,18 @@ def check_overflow(diag) -> dict:
                 any=bool(cap_overflow.any() or sib_overflow.any()))
 
 
+def _parent_gather(x, lvl):
+    """Gather parent rows x[parent] for a level.  With build boundaries the
+    monotone segment-id vector (pmono) replaces the raw parent indices —
+    identical rows for every valid slot, but monotone over the invalid tail
+    too, so XLA's sorted-gather lowering applies.  Invalid slots read the
+    last valid parent instead of row 0; their output is junk either way and
+    every consumer masks by validity."""
+    if "bnd" in lvl:
+        return x.at[lvl["bnd"]["pmono"]].get(indices_are_sorted=True)
+    return x[lvl["parent"]]
+
+
 def _upward_segment_sum(x, lvl, num_parents):
     """The per-level child -> parent reduction of x [cap, C].
 
@@ -434,8 +446,7 @@ def rescan_volumes(levels, level1):
     # (gv, ga, gc, gamma) positions the level matrices use
     prev_dat, cols = level1["_at"], (0, 1, 2, 11 - 6)
     for lvl in levels:
-        p = lvl["parent"]
-        sp = prev_dat[p]
+        sp = _parent_gather(prev_dat, lvl)
         g0, g1, gc0, gg = cols
         dat, _ = _cand_dat(sp[:, g0], sp[:, g1], sp[:, gc0:gc0 + 3],
                            sp[:, gg], level1["_at"][lvl["atom"]])
@@ -462,7 +473,7 @@ def rescan_gammas(levels, level1):
     new_levels = []
     pg = gam8
     for lvl in levels:
-        g8 = pg[lvl["parent"]] + gam8[lvl["atom"]]
+        g8 = _parent_gather(pg, lvl) + gam8[lvl["atom"]]
         new_levels.append({**lvl, "gamma1i": g8[:, 0]})
         pg = g8
     return tuple(new_levels)
@@ -610,8 +621,7 @@ def rescan_volumes2(levels, level1_a, level1_b):
     prev = at2
     prev_cols = ((0, 1, 2, 5), (6, 7, 8, 11))  # (gv, ga, gc0, gamma) per half
     for lvl in levels:
-        p = lvl["parent"]
-        sp = prev[p]
+        sp = _parent_gather(prev, lvl)
         a2 = at2[lvl["atom"]]
         (ga0, ga1, gac, gag), (gb0, gb1, gbc, gbg) = prev_cols
         dat_a, _ = _cand_dat(sp[:, ga0], sp[:, ga1], sp[:, gac:gac + 3],
