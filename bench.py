@@ -53,7 +53,7 @@ def main():
     # system (example/t4lysozyme_benchmark.py:14-16)
     sim = Simulation(dms, version=1, cutoff=1.0, dtype=dtype, skin=0.25)
     res = sim.benchmark_langevin(nsteps=NSTEPS, dt=0.001, temperature=300.0,
-                                 friction=1.0, neighbor_every=20)
+                                 friction=1.0, neighbor_every=40)
 
     print(json.dumps({
         "metric": f"ns_day_{SYSTEM.split('_')[0]}_agbnp1",

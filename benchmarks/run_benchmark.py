@@ -40,7 +40,7 @@ def run_one(name, steps, dtype, out_dms=None):
     sim = Simulation(dms, version=1, cutoff=CUTOFFS.get(name), dtype=dtype,
                      skin=0.25)
     res = sim.benchmark_langevin(nsteps=steps, dt=0.001, temperature=300.0,
-                                 friction=1.0, neighbor_every=20)
+                                 friction=1.0, neighbor_every=40)
     print(json.dumps(dict(system=name, natoms=dms.n, steps=steps,
                           elapsed_s=round(res["elapsed_s"], 3),
                           steps_per_s=round(res["steps_per_s"], 2),

@@ -52,7 +52,7 @@ class Simulation:
                  caps=None, pairs=None, skin: float = 0.15,
                  kmax: int | None = None, vsites=None, mixed: bool = False,
                  pair_kernel: bool | None = None,
-                 caps_boost: float = 1.25, constraints: bool = False):
+                 caps_boost: float = 1.10, constraints: bool = False):
         self.dms = dms
         self.dtype = dtype
         self.version = version
@@ -78,9 +78,10 @@ class Simulation:
             self.ms_kmax_list = int(np.ceil(seen * 1.5 / 16) * 16)
         else:
             # MD runs with tighter tree-capacity headroom than the one-shot
-            # API (counts drift slowly at equilibrium and overflow is
-            # detected, so a lean pad buys ~10-20% step time; the
-            # PanicButton grow path covers the tail)
+            # API: the row-indexed tree ops cost per padded row, so a lean
+            # pad buys ~10% step time (measured, benchmarks/micro_caps.py);
+            # counts drift slowly at equilibrium, overflow is detected every
+            # segment, and the PanicButton grow path covers the tail
             self.agbnp = AGBNPModel(params, version=version, cutoff=cutoff,
                                     dtype=dtype, caps=caps, pairs=pairs,
                                     positions=dms.positions, mixed=mixed,
