@@ -51,6 +51,21 @@ from .gaussians import atomic_gaussian_exponent, ogauss, survives
 # Levels 2..MAX_ORDER are stored; index l in tuples below is level l+2.
 NUM_TREE_LEVELS = MAX_ORDER - 1  # 7
 
+# Rank-space upward-reduction backend (ops/pallas/ranksum.py): replaces the
+# XLA sorted-scatter segment-sums of the bottom-up reduction with MXU
+# one-hot window kernels.  "auto" = on for f32 trees when the default
+# backend is TPU; "on"/"interpret" force it (interpret runs the kernels in
+# Pallas interpret mode for CPU parity tests); "off" disables.
+RANKSUM_MODE = "auto"
+
+
+def _ranksum_active() -> bool:
+    if RANKSUM_MODE == "off":
+        return False
+    if RANKSUM_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return True
+
 
 @dataclasses.dataclass(frozen=True)
 class TreeCaps:
@@ -330,7 +345,7 @@ def _max_siblings(level, parent_cap):
 
 
 def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
-               relax=None, pair_rows: bool = False):
+               relax=None, pair_rows: bool = False, rank_info: bool = True):
     """Builds all overlap levels 2..MAX_ORDER.
 
     pairs_i/pairs_j: candidate 2-body pairs (i < j), i-major order — from an
@@ -367,6 +382,11 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
         counts.append(count)
         sib_max.append(msib)
 
+    # both compaction paths emit parent-sorted levels with bnd boundaries,
+    # so the rank info can attach regardless of the level-2 layout
+    if rank_info and _ranksum_active():
+        _attach_rank_info(levels)
+
     diag = dict(
         counts=jnp.stack(counts),
         caps=jnp.array(caps.caps),
@@ -387,6 +407,19 @@ def check_overflow(diag) -> dict:
     sib_overflow[:-1] = (sibs[:-1] - 1) > offs[:-1]
     return dict(cap_overflow=cap_overflow, sib_overflow=sib_overflow,
                 any=bool(cap_overflow.any() or sib_overflow.any()))
+
+
+def _attach_rank_info(levels):
+    """Precompute, at build time, the rank-space reduction arrays
+    (ops/pallas/ranksum.py::upward_info) for every level's segment
+    boundaries.  They ride inside lvl["bnd"]["rank"] through
+    tree_topology/rescan_volumes, so every fixed-topology reduction of the
+    MD loop reuses them without recomputation."""
+    from .pallas import ranksum
+
+    for lvl in levels:
+        bnd = lvl["bnd"]
+        bnd["rank"] = ranksum.upward_info(bnd["pmono"], bnd["nonempty"])
 
 
 def _parent_gather(x, lvl):
@@ -410,7 +443,25 @@ def _upward_segment_sum(x, lvl, num_parents):
     scatter at large parent counts.  (A segmented associative-scan variant
     was measured at 2x the sorted scatter's cost on this runtime — see
     benchmarks/micro_segsum.py — so scatter it is.)  Invalid tail rows
-    carry zero data, so their carried-forward segment ids are harmless."""
+    carry zero data, so their carried-forward segment ids are harmless.
+
+    When build-time rank info is attached (_attach_rank_info) and the
+    static shapes qualify, the MXU rank-window kernels of
+    ops/pallas/ranksum.py replace the scatter at about half its per-row
+    cost (measured in benchmarks/micro_rank_kernels.py)."""
+    bnd = lvl.get("bnd")
+    if bnd is not None and "rank" in bnd and x.dtype == jnp.float32:
+        from .pallas import ranksum
+
+        # static rank-count bound: distinct sorted segments cannot exceed
+        # the row count or the parent space; +G covers the invalid-tail
+        # rank carried past the last segment
+        kcap = (-(-min(x.shape[0], num_parents) // ranksum.G) * ranksum.G
+                + ranksum.G)
+        if _ranksum_active() and ranksum.supports(kcap, x.shape[1]):
+            return ranksum.upward_sum(
+                x, bnd["rank"], num_parents, kcap,
+                interpret=(RANKSUM_MODE == "interpret"))
     if "bnd" in lvl:
         return jax.ops.segment_sum(x, lvl["bnd"]["pmono"],
                                    num_segments=num_parents,
