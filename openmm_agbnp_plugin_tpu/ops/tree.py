@@ -56,7 +56,12 @@ NUM_TREE_LEVELS = MAX_ORDER - 1  # 7
 # one-hot window kernels.  "auto" = on for f32 trees when the default
 # backend is TPU; "on"/"interpret" force it (interpret runs the kernels in
 # Pallas interpret mode for CPU parity tests); "off" disables.
-RANKSUM_MODE = "auto"
+# Default OFF until an on-hardware A/B lands: the kernels are
+# interpret-mode-validated but their Mosaic compilation and speedup have
+# not yet been measured on the real chip (the TPU service was down).
+import os as _os
+
+RANKSUM_MODE = _os.environ.get("AGBNP_RANKSUM", "off")
 
 
 def _ranksum_active() -> bool:
