@@ -91,12 +91,132 @@ def upward_info(pmono, nonempty):
                 prankR=prank[:, None], q0s=q0s.astype(jnp.int32))
 
 
+def supports_gather(kcap: int, nch: int) -> bool:
+    """Static feasibility for the downward rank gather: padded channel
+    count and the compacted parent table resident in VMEM."""
+    return (nch in (8, 16, 32)
+            and (kcap + 2 * G) * nch * 4 <= MAX_KCAP_BYTES)
+
+
+def gather_info(pmono, kcap: int):
+    """Build-time arrays for the downward (parent -> child) rank gather.
+
+    The child-row parent gather x[pmono] over a monotone id vector equals
+    compact(x)[rank]: compact the parent rows that own children into dense
+    rank space (a kcap-row sorted gather instead of a cap-row one), then
+    expand back to child rows with the windowed one-hot MXU kernel
+    (rank_place).  Returns dict(nz_idx [kcap], rankR [capp, 1],
+    q0c [capp//G]); kcap is recoverable from nz_idx.shape[0].
+    """
+    cap = pmono.shape[0]
+    capp = -(-cap // R) * R
+    if capp != cap:
+        pmono = jnp.pad(pmono, (0, capp - cap), mode="edge")
+    start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             pmono[1:] != pmono[:-1]])
+    rank = jnp.cumsum(start.astype(jnp.int32)) - 1
+    q0c = (rank[::G] // G).astype(jnp.int32)
+    # dense rank -> parent-row map: positions of the segment starts; rows
+    # beyond the real rank count read row pmono[0] (finite junk, masked by
+    # validity downstream like the scatter path's tail reads)
+    # fill past the real rank count with the LAST position so nz_idx stays
+    # monotone (the sorted-gather lowering requires it); those rows read
+    # the final parent's data — finite junk, masked by validity downstream
+    starts = jnp.nonzero(start, size=kcap, fill_value=capp - 1)[0]
+    seg_parent = pmono[starts]
+    return dict(nz_idx=seg_parent, rankR=rank[:, None], q0c=q0c)
+
+
+def rank_gather(x, info, num_rows: int, interpret=False):
+    """Drop-in monotone-index parent gather: x [parent_space, C] ->
+    [num_rows, C] rows x[pmono[i]] (junk on rows whose rank is the carried
+    tail — same contract as the sorted-gather path)."""
+    nz = info["nz_idx"]
+    kcap = nz.shape[0]
+    comp = x.at[nz].get(indices_are_sorted=True, mode="clip")
+    comp = jnp.pad(comp, ((0, 2 * G), (0, 0)))
+    pp = info["rankR"].shape[0]
+    out = rank_place(comp, info["rankR"], info["q0c"], pp,
+                     interpret=interpret)
+    return out[:num_rows]
+
+
 def _split3(x):
     """Exact 3-term bf16 split of f32 (for exact one-hot MXU products)."""
     x1 = x.astype(jnp.bfloat16).astype(jnp.float32)
     r1 = x - x1
     x2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
     return x1, x2, r1 - x2
+
+
+def supports_atomsum(natoms_pad: int, nch: int) -> bool:
+    """Static feasibility for the one-hot atom-deposit scatter: packed
+    channels and the whole [natoms_pad, C] accumulator resident in VMEM."""
+    return nch in (8, 16) and natoms_pad * nch * 4 <= MAX_KCAP_BYTES
+
+
+def _atomsum_kernel(x_ref, atomL_ref, out_ref, acc_ref, sem):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    npad = acc_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (npad, G), 0)
+
+    def body(j, carry):
+        ids = atomL_ref[:, pl.ds(j * G, G)]                 # [1, G] lanes
+        oh = (ids == iota).astype(jnp.float32)              # [npad, G]
+        part = sum(jnp.dot(oh, xs, preferred_element_type=jnp.float32)
+                   for xs in _split3(x_ref[pl.ds(j * G, G), :]))
+        acc_ref[:] = acc_ref[:] + part
+        return carry
+
+    jax.lax.fori_loop(0, SUB, body, 0)
+
+    @pl.when(i == n - 1)
+    def _():
+        cp = pltpu.make_async_copy(acc_ref, out_ref, sem)
+        cp.start()
+        cp.wait()
+
+
+def atom_scatter_sum(x, atoms, natoms: int, interpret=False):
+    """Deterministic unsorted scatter-add x [rows, C] onto atoms [rows]
+    (ids in [0, natoms)) -> [natoms, C], via per-128-row one-hot MXU
+    products into a VMEM-resident accumulator.  Replaces the per-row XLA
+    scatter of the tree's atom deposits (GVolReduceTree.cl's long-int
+    atomics in the reference); exact in f32 by the 3-term bf16 split.
+
+    Invalid/padding rows must carry zero data (atom id 0 absorbs zeros).
+    """
+    rows, nch = x.shape
+    rowsp = -(-rows // R) * R
+    x = _pad_to(x, rowsp, 0, 0)
+    atomsL = _pad_to(atoms.astype(jnp.int32), rowsp, 0, 0)[None, :]
+    npad = -(-natoms // G) * G
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(rowsp // R,),
+        in_specs=[
+            pl.BlockSpec((R, nch), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((npad, nch), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    out = pl.pallas_call(
+        _atomsum_kernel,
+        out_shape=jax.ShapeDtypeStruct((npad, nch), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(x, atomsL)
+    return out[:natoms]
 
 
 def _segsum_kernel(flush_ref, w0s_ref, x_ref, rankL_ref, out_ref,

@@ -415,16 +415,21 @@ def check_overflow(diag) -> dict:
 
 
 def _attach_rank_info(levels):
-    """Precompute, at build time, the rank-space reduction arrays
-    (ops/pallas/ranksum.py::upward_info) for every level's segment
-    boundaries.  They ride inside lvl["bnd"]["rank"] through
-    tree_topology/rescan_volumes, so every fixed-topology reduction of the
-    MD loop reuses them without recomputation."""
+    """Precompute, at build time, the rank-space reduction/gather arrays
+    (ops/pallas/ranksum.py::upward_info/gather_info) for every level's
+    segment boundaries.  They ride inside lvl["bnd"]["rank"] through
+    tree_topology/rescan_volumes, so every fixed-topology pass of the MD
+    loop reuses them without recomputation."""
     from .pallas import ranksum
 
     for lvl in levels:
         bnd = lvl["bnd"]
-        bnd["rank"] = ranksum.upward_info(bnd["pmono"], bnd["nonempty"])
+        cap = lvl["valid"].shape[0]
+        parent_space = bnd["nonempty"].shape[0]
+        kcap = (-(-min(cap, parent_space) // ranksum.G) * ranksum.G
+                + ranksum.G)
+        bnd["rank"] = {**ranksum.upward_info(bnd["pmono"], bnd["nonempty"]),
+                       **ranksum.gather_info(bnd["pmono"], kcap)}
 
 
 def _parent_gather(x, lvl):
@@ -433,9 +438,30 @@ def _parent_gather(x, lvl):
     identical rows for every valid slot, but monotone over the invalid tail
     too, so XLA's sorted-gather lowering applies.  Invalid slots read the
     last valid parent instead of row 0; their output is junk either way and
-    every consumer masks by validity."""
-    if "bnd" in lvl:
-        return x.at[lvl["bnd"]["pmono"]].get(indices_are_sorted=True)
+    every consumer masks by validity.
+
+    With rank info attached, the monotone gather factors into a
+    kcap-row compaction (distinct parents only) plus the windowed one-hot
+    MXU expansion of ops/pallas/ranksum.py::rank_gather — fewer
+    row-serial gather rows when parents average >1 child."""
+    bnd = lvl.get("bnd")
+    if bnd is not None:
+        rk = bnd.get("rank")
+        if (rk is not None and "nz_idx" in rk and _ranksum_active()
+                and x.dtype == jnp.float32):
+            from .pallas import ranksum
+
+            kcap = rk["nz_idx"].shape[0]
+            nch = x.shape[1]
+            nchp = 8 if nch <= 8 else (16 if nch <= 16 else 32)
+            if nch <= 32 and ranksum.supports_gather(kcap, nchp):
+                xp = (x if nchp == nch
+                      else jnp.pad(x, ((0, 0), (0, nchp - nch))))
+                out = ranksum.rank_gather(
+                    xp, rk, lvl["valid"].shape[0],
+                    interpret=(RANKSUM_MODE == "interpret"))
+                return out[:, :nch]
+        return x.at[bnd["pmono"]].get(indices_are_sorted=True)
     return x[lvl["parent"]]
 
 
@@ -533,6 +559,26 @@ def rescan_gammas(levels, level1):
         new_levels.append({**lvl, "gamma1i": g8[:, 0]})
         pg = g8
     return tuple(new_levels)
+
+
+def _deposit_sum(dep, atoms, natoms, lvl0):
+    """The all-levels atom-deposit scatter of the bottom-up reduction.
+
+    With rank info attached (the tree opted into the MXU kernels) the
+    unsorted per-row XLA scatter is replaced by the one-hot MXU
+    accumulation of ops/pallas/ranksum.py::atom_scatter_sum — the
+    [natoms, C] accumulator lives in VMEM across the whole sweep."""
+    bnd = lvl0.get("bnd")
+    if (bnd is not None and "rank" in bnd and _ranksum_active()
+            and dep.dtype == jnp.float32):
+        from .pallas import ranksum
+
+        npad = -(-natoms // ranksum.G) * ranksum.G
+        if ranksum.supports_atomsum(npad, dep.shape[1]):
+            return ranksum.atom_scatter_sum(
+                dep, atoms, natoms,
+                interpret=(RANKSUM_MODE == "interpret"))
+    return jax.ops.segment_sum(dep, atoms, num_segments=natoms)
 
 
 def _pad8(x):
@@ -634,9 +680,9 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
         num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
         acc = _upward_segment_sum(_pad8(up), lvl, num_parents)[:, :n_up]
 
-    deposits = jax.ops.segment_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
-                                   jnp.concatenate(dep_atoms, axis=0),
-                                   num_segments=natoms)
+    deposits = _deposit_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
+                            jnp.concatenate(dep_atoms, axis=0),
+                            natoms, levels[0])
 
     # level 1 (atoms): volcoeff = volcoeffp = 1, sfp = 1, dvv1 = 1, dv1 = 0,
     # c2 = 1, c2p = 0 (gaussvol.cpp:413-435 with level == 1)
@@ -754,9 +800,9 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
         num_parents = natoms if l == 0 else levels_a[l - 1]["valid"].shape[0]
         acc = _upward_segment_sum(_pad8(up), la, num_parents)[:, :up.shape[1]]
 
-    deposits = jax.ops.segment_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
-                                   jnp.concatenate(dep_atoms, axis=0),
-                                   num_segments=natoms)
+    deposits = _deposit_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
+                            jnp.concatenate(dep_atoms, axis=0),
+                            natoms, levels_a[0])
 
     results = []
     for base, dbase, l1 in ((0, 0, level1_a), (5, 3, level1_b)):

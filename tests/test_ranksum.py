@@ -58,6 +58,43 @@ def test_upward_sum_matches_segment_sum(rows, parent_cap, nch):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("rows,parent_cap,nch", [
+    (1024, 640, 8),
+    (4096, 2560, 32),
+])
+def test_rank_gather_matches_sorted_gather(rows, parent_cap, nch):
+    rng = np.random.RandomState(rows + nch + 7)
+    pmono, _, nvalid = _random_sorted_segments(rng, rows, parent_cap)
+    src = rng.randn(parent_cap, nch).astype(np.float32)
+
+    kcap = -(-min(rows, parent_cap) // ranksum.G) * ranksum.G + ranksum.G
+    assert ranksum.supports_gather(kcap, nch)
+    info = jax.jit(lambda p: ranksum.gather_info(p, kcap))(
+        jnp.asarray(pmono))
+    out = ranksum.rank_gather(jnp.asarray(src), info, rows, interpret=True)
+    ref = src[pmono]
+    # contract: valid prefix rows exact; tail rows are junk (masked by
+    # validity downstream), like the sorted-gather path
+    np.testing.assert_array_equal(np.asarray(out)[:nvalid], ref[:nvalid])
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("rows,natoms,nch", [(1500, 264, 8), (4096, 1310, 8)])
+def test_atom_scatter_sum_matches_segment_sum(rows, natoms, nch):
+    rng = np.random.RandomState(rows)
+    atoms = rng.randint(0, natoms, size=rows).astype(np.int32)
+    x = rng.randn(rows, nch).astype(np.float32)
+    nvalid = int(rows * 0.8)
+    x[nvalid:] = 0.0
+    atoms[nvalid:] = 0
+    out = ranksum.atom_scatter_sum(jnp.asarray(x), jnp.asarray(atoms),
+                                   natoms, interpret=True)
+    ref = jax.ops.segment_sum(jnp.asarray(x), jnp.asarray(atoms),
+                              num_segments=natoms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_upward_sum_all_empty():
     """A level with zero valid rows: pmono pinned at the tail parent,
     nonempty all-False (the _compact_rows empty-level encoding)."""
@@ -104,13 +141,23 @@ def test_tree_reduction_rank_path_parity(gaussvol_system):
                                         pair_rows=True)
             if mode == "interpret":
                 assert "rank" in levels[0]["bnd"]
+                assert "nz_idx" in levels[0]["bnd"]["rank"]
             res = T.reduce_tree(levels, lvl1, with_selfvol=True)
+            # fixed-topology passes exercise _parent_gather's rank path
+            topo = T.tree_topology(levels)
+            relvl = T.rescan_volumes(topo, lvl1)
+            res["rescan"] = T.reduce_tree(relvl, lvl1)["energy"]
+            glvl = T.rescan_gammas(relvl, lvl1)
+            res["gamma"] = T.reduce_tree(glvl, lvl1,
+                                         with_selfvol=False)["energy"]
             results[mode] = jax.tree_util.tree_map(np.asarray, res)
     finally:
         T.RANKSUM_MODE = old
 
     a, b = results["off"], results["interpret"]
     np.testing.assert_allclose(b["energy"], a["energy"], rtol=1e-6)
+    np.testing.assert_allclose(b["rescan"], a["rescan"], rtol=1e-6)
+    np.testing.assert_allclose(b["gamma"], a["gamma"], rtol=1e-6)
     np.testing.assert_allclose(b["dr"], a["dr"], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(b["self_volume"], a["self_volume"],
                                rtol=1e-5, atol=1e-6)
