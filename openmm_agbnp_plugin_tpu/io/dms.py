@@ -77,7 +77,12 @@ def _fetch(cur, query, default=None):
 
 
 def load_dms(path: str) -> DMSSystem:
-    con = sqlite3.connect(path)
+    import os
+
+    if not os.path.exists(path):
+        # sqlite3.connect would silently create an empty db file
+        raise FileNotFoundError(path)
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     cur = con.cursor()
 
     rows = cur.execute(

@@ -2,8 +2,9 @@
 
 The overlap-tree's child->parent reduction is a segment-sum over
 parent-sorted rows (monotone segment ids).  XLA's scatter lowering costs
-~8-18 ns/row on this runtime (see benchmarks/micro_rank_kernels.py); these
-kernels land at roughly half that by exploiting the sort:
+~8-18 ns/row on this runtime; these kernels are designed to beat that
+floor by exploiting the sort (A/B harness: benchmarks/micro_ranksum_ab.py;
+enable with AGBNP_RANKSUM=auto once the on-hardware numbers are in):
 
 - within any 128-row sub-group the number of DISTINCT segments is <= 128,
   so the sub-group's contribution is a [2G, G] one-hot (built transpose-free
@@ -116,10 +117,8 @@ def gather_info(pmono, kcap: int):
                              pmono[1:] != pmono[:-1]])
     rank = jnp.cumsum(start.astype(jnp.int32)) - 1
     q0c = (rank[::G] // G).astype(jnp.int32)
-    # dense rank -> parent-row map: positions of the segment starts; rows
-    # beyond the real rank count read row pmono[0] (finite junk, masked by
-    # validity downstream like the scatter path's tail reads)
-    # fill past the real rank count with the LAST position so nz_idx stays
+    # dense rank -> parent-row map via the segment-start positions; fill
+    # past the real rank count with the LAST position so nz_idx stays
     # monotone (the sorted-gather lowering requires it); those rows read
     # the final parent's data — finite junk, masked by validity downstream
     starts = jnp.nonzero(start, size=kcap, fill_value=capp - 1)[0]

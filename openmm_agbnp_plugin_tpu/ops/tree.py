@@ -73,6 +73,40 @@ def _ranksum_active() -> bool:
 
 
 @dataclasses.dataclass(frozen=True)
+class TreeComm:
+    """Collective hooks that let the fixed-topology passes run on row
+    BLOCKS of the level arrays inside jax.shard_map (multi-chip tree
+    decomposition, parallel/sharding.py::sharded_energy_forces).
+
+    The downward rescans keep the parent level replicated (all_gather of
+    each level's freshly computed block) so the per-row parent gathers stay
+    local; the upward reductions segment-sum each device's rows into the
+    full parent space and reduce across devices — psum_scatter back to
+    blocks between levels, a plain psum at the atom level where the
+    results (energy, deposits, level-1 accumulators) must be replicated.
+    This is the multi-chip analogue of the reference's tree sections
+    (one section per compute unit, OpenCLAGBNPKernels.cpp:75-195), with
+    XLA collectives over ICI replacing shared global memory.
+    """
+
+    axis: str
+    ndev: int
+
+    def full(self, x):
+        """Row block -> replicated full rows."""
+        return jax.lax.all_gather(x, self.axis, axis=0, tiled=True)
+
+    def reduce_blocks(self, x):
+        """Full-space partial sums -> this device's row block of the total."""
+        return jax.lax.psum_scatter(x, self.axis, scatter_dimension=0,
+                                    tiled=True)
+
+    def reduce_full(self, x):
+        """Full-space partial sums -> replicated total."""
+        return jax.lax.psum(x, self.axis)
+
+
+@dataclasses.dataclass(frozen=True)
 class TreeCaps:
     """Static per-level capacities and sibling-offset windows.
 
@@ -516,12 +550,14 @@ def tree_topology(levels):
     return tuple(out)
 
 
-def rescan_volumes(levels, level1):
+def rescan_volumes(levels, level1, comm: TreeComm | None = None):
     """Recompute all node volumes/Gaussians on the fixed topology.
 
     The analogue of rescan_tree_v (gaussvol.cpp:254-327): new level-1 data
     (radii/volumes/gammas), same parent/atom indices, no re-pruning.
-    Accepts full levels or a tree_topology() result.
+    Accepts full levels or a tree_topology() result.  With `comm`, the
+    level arrays are per-device row blocks inside shard_map; each level's
+    block is all_gathered so the next level's parent gathers see full rows.
     """
     new_levels = []
     # level-1 "dat" is the packed atomic table; map its columns to the same
@@ -536,11 +572,12 @@ def rescan_volumes(levels, level1):
         if "bnd" in lvl:
             nl["bnd"] = lvl["bnd"]
         new_levels.append(nl)
-        prev_dat, cols = dat, (0, 1, 2, 11)
+        prev_dat = dat if comm is None else comm.full(dat)
+        cols = (0, 1, 2, 11)
     return tuple(new_levels)
 
 
-def rescan_gammas(levels, level1):
+def rescan_gammas(levels, level1, comm: TreeComm | None = None):
     """Propagate new per-atom gammas down the fixed topology
     (rescan_tree_g, gaussvol.cpp:330-372).
 
@@ -557,7 +594,7 @@ def rescan_gammas(levels, level1):
     for lvl in levels:
         g8 = _parent_gather(pg, lvl) + gam8[lvl["atom"]]
         new_levels.append({**lvl, "gamma1i": g8[:, 0]})
-        pg = g8
+        pg = g8 if comm is None else comm.full(g8)
     return tuple(new_levels)
 
 
@@ -593,7 +630,8 @@ def _pad8(x):
 
 
 def reduce_tree(levels, level1, with_selfvol: bool = True,
-                with_freevol: bool = False, with_dv: bool = False):
+                with_freevol: bool = False, with_dv: bool = False,
+                comm: TreeComm | None = None):
     """Bottom-up reduction: energy, gradients, self/free volumes.
 
     The flattened form of compute_volume_underslot2_r (gaussvol.cpp:400-519):
@@ -677,12 +715,22 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
             p_out,                             # e_p
             tot[:, 5:],                        # sv/fv psi pass through
         ], axis=1) * vmask[:, None]
-        num_parents = natoms if l == 0 else levels[l - 1]["valid"].shape[0]
+        nmul = 1 if comm is None else comm.ndev
+        num_parents = natoms if l == 0 else (
+            levels[l - 1]["valid"].shape[0] * nmul)
         acc = _upward_segment_sum(_pad8(up), lvl, num_parents)[:, :n_up]
+        if comm is not None:
+            # cross-device reduction of the full-parent-space partials:
+            # back to this device's parent block between levels, replicated
+            # at the atom level (the level-1 terms below run replicated)
+            acc = (comm.reduce_full(acc) if l == 0
+                   else comm.reduce_blocks(acc))
 
     deposits = _deposit_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
                             jnp.concatenate(dep_atoms, axis=0),
                             natoms, levels[0])
+    if comm is not None:
+        deposits = comm.reduce_full(deposits)
 
     # level 1 (atoms): volcoeff = volcoeffp = 1, sfp = 1, dvv1 = 1, dv1 = 0,
     # c2 = 1, c2p = 0 (gaussvol.cpp:413-435 with level == 1)
@@ -708,7 +756,8 @@ def reduce_tree(levels, level1, with_selfvol: bool = True,
     return result
 
 
-def rescan_volumes2(levels, level1_a, level1_b):
+def rescan_volumes2(levels, level1_a, level1_b,
+                    comm: TreeComm | None = None):
     """Fixed-topology volume rescan for TWO parameterizations at once.
 
     The AGBNP cavity term evaluates the same topology twice (large radii,
@@ -738,12 +787,15 @@ def rescan_volumes2(levels, level1_a, level1_b):
         out_a.append(la)
         out_b.append(lb)
         prev = jnp.concatenate([dat_a, dat_b], axis=1)  # [cap, 2*_D]
+        if comm is not None:
+            prev = comm.full(prev)
         prev_cols = ((0, 1, 2, 11), (_D, _D + 1, _D + 2, _D + 11))
     return tuple(out_a), tuple(out_b)
 
 
 def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
-                 with_selfvol_b: bool = True):
+                 with_selfvol_b: bool = True,
+                 comm: TreeComm | None = None):
     """Bottom-up reduction of two same-topology trees in one sweep.
 
     Packs both trees' accumulator channels into one matrix so each level
@@ -797,12 +849,19 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
         dep_atoms.append(la["atom"])
 
         up = jnp.concatenate(ups, axis=1) * vmask[:, None]
-        num_parents = natoms if l == 0 else levels_a[l - 1]["valid"].shape[0]
+        nmul = 1 if comm is None else comm.ndev
+        num_parents = natoms if l == 0 else (
+            levels_a[l - 1]["valid"].shape[0] * nmul)
         acc = _upward_segment_sum(_pad8(up), la, num_parents)[:, :up.shape[1]]
+        if comm is not None:
+            acc = (comm.reduce_full(acc) if l == 0
+                   else comm.reduce_blocks(acc))
 
     deposits = _deposit_sum(_pad8(jnp.concatenate(dep_rows, axis=0)),
                             jnp.concatenate(dep_atoms, axis=0),
                             natoms, levels_a[0])
+    if comm is not None:
+        deposits = comm.reduce_full(deposits)
 
     results = []
     for base, dbase, l1 in ((0, 0, level1_a), (5, 3, level1_b)):

@@ -63,6 +63,59 @@ def test_sharded_pair_phases_match_dense(gaussvol_system):
         np.asarray(ref["details"]["born_radius"]), rtol=1e-12)
 
 
+@pytest.mark.slow
+def test_sharded_tree_and_pair_pipeline_match_dense(gaussvol_system):
+    """The FULL fixed-topology AGBNP1 pipeline — cavity tree passes, pair
+    phases, and the W/U gamma-rescan force pass — sharded over an 8-device
+    atoms mesh (sharded_energy_forces: tree level rows in blocks with
+    all_gather/psum_scatter collectives) equals the single-device path on
+    the same topology to f64 roundoff on the 264-atom reference fixture."""
+    from functools import partial
+
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import (
+        energy_forces, prepare_arrays)
+    from openmm_agbnp_plugin_tpu.ops import tree as T
+    from openmm_agbnp_plugin_tpu.parallel.sharding import (
+        sharded_energy_forces)
+
+    params, pos = gaussvol_system
+    arrays = prepare_arrays(params, dtype=np.float64)
+    caps = T.TreeCaps.for_natoms(params.n)
+    ntypes_j = int(np.max(np.asarray(arrays["type_j"])) + 1)
+    pos = jnp.asarray(pos)
+
+    # build the overlap-tree topology once (replicated, as in MD rebuilds)
+    gamma_dr = jnp.asarray(arrays["gamma"]) / params.roffset
+    lvl1_large = T.make_level1(pos, jnp.asarray(arrays["radii_large"]),
+                               jnp.asarray(arrays["vol_large"]), gamma_dr,
+                               jnp.asarray(arrays["ishydrogen"]))
+    levels, _ = jax.jit(lambda: T.build_tree(
+        lvl1_large, arrays["pairs_i"], arrays["pairs_j"], caps,
+        pairs_valid=arrays["pairs_valid"]))()
+    topo = T.tree_topology(levels)
+
+    kw = dict(caps=caps, version=1, roffset=params.roffset,
+              ntypes_j=ntypes_j)
+    ref = jax.jit(partial(energy_forces, topology=topo, **kw))(arrays, pos)
+
+    mesh = atom_mesh(8)
+    fn = jax.jit(sharded_energy_forces(mesh, arrays, params.roffset,
+                                       ntypes_j))
+    out = fn(pos, topo)
+
+    np.testing.assert_allclose(float(out["energy"]), float(ref["energy"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["force"]),
+                               np.asarray(ref["force"]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out["born_radius"]),
+        np.asarray(ref["details"]["born_radius"]), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out["self_volume"]),
+        np.asarray(ref["details"]["self_volume"]), rtol=1e-10)
+
+
 def test_replica_ensemble_md(tiny_sim):
     """8 replicas sharded over 8 CPU devices; energies diverge per replica
     (independent noise) and stay finite."""
