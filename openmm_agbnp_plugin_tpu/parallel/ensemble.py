@@ -130,12 +130,25 @@ class ReplicaEnsemble:
             return vrun(ff, states, nouter, ne)
 
         def run(states, nsteps: int):
-            ne = neighbor_every if nsteps >= neighbor_every else nsteps
-            if nsteps % ne:
-                raise ValueError(
-                    f"nsteps ({nsteps}) must be a multiple of "
-                    f"neighbor_every ({neighbor_every})")
-            return run_ff(sim.ff_state(), states, nsteps)
+            ff = sim.ff_state()
+            main = (nsteps // neighbor_every) * neighbor_every
+            rem = nsteps - main
+            if not rem:
+                return run_ff(ff, states, nsteps)
+            # nsteps need not divide into rebuild windows: run the full
+            # windows, then one short remainder window (its own compiled
+            # executable, reused across calls with the same remainder)
+            outs = []
+            if main:
+                states, out = run_ff(ff, states, main)
+                outs.append(out)
+            states, out = run_ff(ff, states, rem)
+            outs.append(out)
+            if len(outs) == 1:
+                return states, outs[0]
+            e = jnp.concatenate([o[0] for o in outs], axis=1)
+            agg = [jnp.maximum(outs[0][i], outs[1][i]) for i in (1, 2, 3)]
+            return states, (e, *agg)
 
         return run
 

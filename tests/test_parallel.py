@@ -122,11 +122,13 @@ def test_replica_ensemble_md(tiny_sim):
     from openmm_agbnp_plugin_tpu.parallel.ensemble import ReplicaEnsemble
 
     ens = ReplicaEnsemble(tiny_sim, n_replicas=8)
-    run = ens.make_runner(dt=0.001)
+    # nsteps NOT a multiple of the rebuild window: 5 = 2 windows of 2 + a
+    # remainder window of 1 (the runner splits it, no API restriction)
+    run = ens.make_runner(dt=0.001, neighbor_every=2)
     states = ens.initial_states(jitter=1e-4)
-    states, (energies, counts, nbmax, sibs) = run(states, 3)
+    states, (energies, counts, nbmax, sibs) = run(states, 5)
     energies = np.asarray(energies)
-    assert energies.shape == (8, 3)
+    assert energies.shape == (8, 5)
     assert np.isfinite(energies).all()
     # different PRNG streams -> trajectories diverge
     assert len(np.unique(energies[:, -1])) > 1
