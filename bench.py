@@ -25,14 +25,51 @@ BASELINE_NS_DAY = 5.0
 
 NSTEPS = int(os.environ.get("BENCH_STEPS", "1000"))
 SYSTEM = os.environ.get("BENCH_SYSTEM", "1li2_agbnp1")
+PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT", "900"))
+
+
+def _accelerator_alive(timeout: float) -> bool:
+    """Probe the accelerator backend in a SUBPROCESS with a hard timeout.
+
+    The remote-TPU (axon tunnel) service has been observed to hang
+    jax.devices() indefinitely when down; a hung probe must not hang the
+    benchmark, hence the subprocess.  Returns True if a device materializes
+    and compiles a trivial program within the bound.
+    """
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp;"
+             "assert jax.devices();"
+             "x = jnp.ones((128, 128));"
+             "(x @ x).block_until_ready();"
+             "print(jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], timeout=timeout,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "cpu" not in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    note = None
+    nsteps = NSTEPS
+    if not _accelerator_alive(PROBE_TIMEOUT):
+        # accelerator service down: fall back to CPU so the round still
+        # records a (much slower, honestly labelled) number instead of
+        # hanging the driver
+        note = "accelerator unavailable; CPU fallback, not a TPU number"
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        nsteps = min(nsteps, 50)
+
     import jax
 
+    if note is not None:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.jax_cache"))
@@ -52,15 +89,18 @@ def main():
     # CutoffNonPeriodic 1 nm: the reference benchmark configuration for this
     # system (example/t4lysozyme_benchmark.py:14-16)
     sim = Simulation(dms, version=1, cutoff=1.0, dtype=dtype, skin=0.25)
-    res = sim.benchmark_langevin(nsteps=NSTEPS, dt=0.001, temperature=300.0,
+    res = sim.benchmark_langevin(nsteps=nsteps, dt=0.001, temperature=300.0,
                                  friction=1.0, neighbor_every=40)
 
-    print(json.dumps({
+    out = {
         "metric": f"ns_day_{SYSTEM.split('_')[0]}_agbnp1",
         "value": round(res["ns_day"], 3),
         "unit": "ns/day",
         "vs_baseline": round(res["ns_day"] / BASELINE_NS_DAY, 3),
-    }))
+    }
+    if note is not None:
+        out["note"] = note
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

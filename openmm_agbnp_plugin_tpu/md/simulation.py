@@ -303,9 +303,8 @@ class Simulation:
         caps = self.agbnp.caps
         roffset = self.agbnp.params.roffset
 
-        @partial(jax.jit, static_argnames=("nsteps",))
-        def run_ff(ff, pos, vel, key, nsteps: int):
-            nouter = nsteps // neighbor_every
+        @partial(jax.jit, static_argnames=("nouter", "ninner"))
+        def run_ff(ff, pos, vel, key, nouter: int, ninner: int):
             a = ff["a"]
 
             def outer(carry, _):
@@ -332,7 +331,7 @@ class Simulation:
                     masses, dt, temperature, friction,
                     constraints=self.constraints)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
-                    inner, (pos, vel, key), length=neighbor_every)
+                    inner, (pos, vel, key), length=ninner)
                 maxcounts = jnp.max(counts, axis=0)
                 if build_counts is not None:
                     maxcounts = jnp.maximum(maxcounts, build_counts)
@@ -345,11 +344,25 @@ class Simulation:
                      jnp.max(sibs, axis=0)))
 
         def run(pos, vel, key, nsteps: int):
-            if nsteps % neighbor_every:
-                raise ValueError(
-                    f"nsteps ({nsteps}) must be a multiple of "
-                    f"neighbor_every ({neighbor_every})")
-            return run_ff(self.ff_state(), pos, vel, key, nsteps)
+            ff = self.ff_state()
+            nouter, rem = divmod(nsteps, neighbor_every)
+            outs = []
+            if nouter:
+                pos, vel, key, e, diag = run_ff(ff, pos, vel, key, nouter,
+                                                neighbor_every)
+                outs.append((e, diag))
+            if rem:
+                # nsteps need not divide into rebuild windows: one short
+                # remainder window (its own compiled executable)
+                pos, vel, key, e, diag = run_ff(ff, pos, vel, key, 1, rem)
+                outs.append((e, diag))
+            if len(outs) == 1:
+                e, diag = outs[0]
+            else:
+                e = jnp.concatenate([o[0] for o in outs])
+                diag = tuple(jnp.maximum(a, b)
+                             for a, b in zip(outs[0][1], outs[1][1]))
+            return pos, vel, key, e, diag
 
         return run
 
