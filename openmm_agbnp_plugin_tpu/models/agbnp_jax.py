@@ -76,9 +76,14 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
     if pair_pad > 0:
         from ..ops.pallas.pairs import pad_to, pick_tile, prepare_pair_tables
 
+        # f32 deployment uses the exact 3-way bf16 mantissa-split tables
+        # (half the MXU passes per spline selection, bit-identical values);
+        # f64 keeps the HIGHEST-precision f64 contraction
+        split = np.dtype(dtype) == np.float32
         rowY, cols_oh = prepare_pair_tables(tables.type_screened,
                                             tables.type_screener,
-                                            tables.yval, tables.y2val)
+                                            tables.yval, tables.y2val,
+                                            split_bf16=split)
         # Morton-order the ROW (screened-atom) axis of the pair kernels so
         # tiles are spatially local on both axes and the out-of-range tile
         # skips (2 nm LUT horizon, GB cutoff) fire on most far tiles.  The
@@ -93,7 +98,8 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         rinv[rperm] = np.arange(n, dtype=np.int32)
         extra["rperm"] = rperm.astype(np.int32)
         extra["rinv"] = rinv
-        extra["rowY_pad"] = np.pad(rowY[rperm], ((0, pair_pad - n), (0, 0)))             .astype(dtype)
+        tdt = rowY.dtype if split else dtype  # bf16 split stays bf16
+        extra["rowY_pad"] = np.pad(rowY[rperm], ((0, pair_pad - n), (0, 0)))             .astype(tdt)
         extra["charge_pad"] = np.pad(np.asarray(p.charge)[rperm],
                                      (0, pair_pad - n)).astype(dtype)
         extra["radii_vdw_perm"] = np.asarray(p.radii_vdw)[rperm]             .astype(dtype)
@@ -112,7 +118,7 @@ def prepare_arrays(params: AGBNPParams, dtype=np.float64,
         hids_perm[:len(hidx)] = rinv[hidx]
         extra["hids_perm_pad"] = hids_perm
         extra["cols_oh_hpad"] = np.pad(
-            cols_oh[hidx], ((0, nhpad - len(hidx)), (0, 0))).astype(dtype)
+            cols_oh[hidx], ((0, nhpad - len(hidx)), (0, 0))).astype(tdt)
     return dict(
         **extra,
         radii_large=np.asarray(p.radii_large, dtype),

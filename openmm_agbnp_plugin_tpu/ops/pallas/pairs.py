@@ -56,7 +56,8 @@ def pick_tile(n: int) -> int:
     return 128 if n <= 1024 else 256
 
 
-def prepare_pair_tables(type_screened, type_screener, yval, y2val):
+def prepare_pair_tables(type_screened, type_screener, yval, y2val,
+                        split_bf16: bool = False):
     """Host-side prep: row-contracted spline tables + column one-hot.
 
     rowY[i, tj, s]  = yval[type_i[i], tj, s]   (and y2 stacked behind)
@@ -64,12 +65,36 @@ def prepare_pair_tables(type_screened, type_screener, yval, y2val):
                       whose screener type is -1 — they never screen,
                       reference AGBNPUtils.cpp:168-171)
     Returns (rowY [N, Tj*2*NA], cols_oh [N, Tj]) as numpy float arrays.
+
+    With split_bf16, rowY is instead returned as a 3-way bfloat16 mantissa
+    split in (segment, [y|y2], type)-major layout, [N, 3*NA*2*Tj].  The
+    one-hot selection matmul is then exact in THREE single-pass bf16 MXU
+    matmuls (0/1 is exact in bf16, and an f32 value is exactly the sum of
+    its three 8-bit mantissa chunks) instead of the 6-pass
+    Precision.HIGHEST f32 contraction — the same bit-exact node values at
+    half the MXU work.  cols_oh comes back bfloat16 to match.
     """
     ti = np.asarray(type_screened)
     tj = np.asarray(type_screener)
     yval = np.asarray(yval)
     y2val = np.asarray(y2val)
     ntj = yval.shape[1]
+    if split_bf16:
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+        # [N, NA, 2, Tj]: per segment the y and y2 node rows sit adjacent so
+        # the kernel selects both with one block-diagonal one-hot matmul
+        P = np.stack([yval[ti], y2val[ti]], axis=3)   # [N, Tj, NA, 2]
+        P = np.transpose(P, (0, 2, 3, 1)).reshape(len(ti), -1)
+        P = P.astype(np.float32)
+        s0 = P.astype(bf16)
+        r1 = P - s0.astype(np.float32)
+        s1 = r1.astype(bf16)
+        s2 = (r1 - s1.astype(np.float32)).astype(bf16)
+        rowY = np.concatenate([s0, s1, s2], axis=1)   # [N, 3*NA*2*Tj]
+        cols_oh = (tj[:, None] == np.arange(ntj)[None, :]).astype(bf16)
+        return rowY, cols_oh
     rowY = np.concatenate([yval[ti], y2val[ti]], axis=2)  # [N, Tj, 2*NA]
     # s-major layout [N, 2*NA, Tj] so the kernel's per-segment [TI, Tj]
     # slice is a contiguous static slice (no in-kernel relayout)
@@ -79,23 +104,52 @@ def prepare_pair_tables(type_screened, type_screener, yval, y2val):
 
 
 def _tile_spline(rowY_blk, cols_oh_blk, d, mask, ntj, deriv):
-    """Per-tile spline eval. rowY_blk [TI, 2*NA*Tj] (s-major); cols_oh_blk
-    [TJ, Tj]; d [TI, TJ].  Returns (Q, dQ or None), masked."""
+    """Per-tile spline eval. rowY_blk [TI, 2*NA*Tj] (s-major) f32/f64, or
+    the 3-way bf16 mantissa split [TI, 3*NA*2*Tj] from
+    prepare_pair_tables(split_bf16=True); cols_oh_blk [TJ, Tj]; d [TI, TJ].
+    Returns (Q, dQ or None), masked."""
     dt = d.dtype
     seg = jnp.clip((d * (1.0 / _H)).astype(jnp.int32), 0, _NA - 2)
+    split = rowY_blk.dtype == jnp.bfloat16
+
+    if split:
+        # block-diagonal one-hot [2*TJ, 2*Tj] so one matmul selects the
+        # segment's y AND y2 node values ([TI, 2*TJ] output); 0/1 and the
+        # mantissa chunks are exact in bf16, so summing the three
+        # single-pass selections reproduces the f32 node value bit-exactly
+        z = jnp.zeros_like(cols_oh_blk)
+        oh2 = jnp.concatenate([
+            jnp.concatenate([cols_oh_blk, z], axis=1),
+            jnp.concatenate([z, cols_oh_blk], axis=1),
+        ], axis=0)
+        tj_cols = cols_oh_blk.shape[0]
+        W = 2 * ntj
+        span = _NA * W
 
     zero = jnp.zeros_like(d)
     y0 = y1 = y20 = y21 = zero
     for s in range(_NA):
-        # node value for every pair in the tile: [TI, Tj] @ [Tj, TJ]
-        node_y = jax.lax.dot_general(
-            rowY_blk[:, s * ntj:(s + 1) * ntj], cols_oh_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=_HP, preferred_element_type=dt)
-        node_y2 = jax.lax.dot_general(
-            rowY_blk[:, (_NA + s) * ntj:(_NA + s + 1) * ntj], cols_oh_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=_HP, preferred_element_type=dt)
+        if split:
+            node = None
+            for k in range(3):
+                lo = k * span + s * W
+                part = jax.lax.dot_general(
+                    rowY_blk[:, lo:lo + W], oh2,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=dt)
+                node = part if node is None else node + part
+            node_y = node[:, :tj_cols]
+            node_y2 = node[:, tj_cols:]
+        else:
+            # node value for every pair in the tile: [TI, Tj] @ [Tj, TJ]
+            node_y = jax.lax.dot_general(
+                rowY_blk[:, s * ntj:(s + 1) * ntj], cols_oh_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=_HP, preferred_element_type=dt)
+            node_y2 = jax.lax.dot_general(
+                rowY_blk[:, (_NA + s) * ntj:(_NA + s + 1) * ntj], cols_oh_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=_HP, preferred_element_type=dt)
         if s < _NA - 1:
             m = (seg == s).astype(dt)
             y0 = y0 + m * node_y

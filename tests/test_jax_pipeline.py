@@ -165,3 +165,46 @@ def test_pallas_pair_path_matches_xla(gaussvol_system):
     f0, f1 = np.asarray(f0), np.asarray(f1)
     assert float(abs(e1 - e0)) <= 5e-3   # f32 pair-order rounding
     assert np.abs(f1 - f0).max() <= 2e-6 * np.abs(f0).max()
+
+
+@pytest.mark.slow
+def test_bf16_split_tables_bit_exact(gaussvol_system):
+    """The 3-way bf16 mantissa-split spline tables (single-pass MXU
+    selections, prepare_pair_tables(split_bf16=True)) must reproduce the
+    f32 HIGHEST-precision one-hot contraction BIT-exactly: 0/1 is exact in
+    bf16 and an f32 value is exactly the sum of its three 8-bit mantissa
+    chunks."""
+    import jax.numpy as jnp
+
+    from openmm_agbnp_plugin_tpu.models.i4_tables import I4LookupTables
+    from openmm_agbnp_plugin_tpu.ops.pallas import pairs as PK
+
+    params, pos = gaussvol_system
+    t = I4LookupTables(params.radii_vdw, params.ishydrogen)
+    n, tile = params.n, 128
+    npad = PK.pad_to(n, tile)
+    hidx = np.nonzero(np.asarray(params.ishydrogen) == 0)[0]
+    nhpad = PK.pad_to(len(hidx), tile)
+    hids = np.full(nhpad, -1, np.int32)
+    hids[:len(hidx)] = hidx
+    posn = np.asarray(pos, np.float32)
+    pos_pad = np.pad(posn, ((0, npad - n), (0, 0))).T
+    pos_h = np.zeros((nhpad, 3), np.float32)
+    pos_h[:len(hidx)] = posn[hidx]
+    s = np.random.default_rng(0).uniform(0.3, 1.0, nhpad).astype(np.float32)
+
+    outs = []
+    for split in (False, True):
+        rowY, cols_oh = PK.prepare_pair_tables(
+            t.type_screened, t.type_screener, t.yval, t.y2val,
+            split_bf16=split)
+        tdt = rowY.dtype if split else np.float32
+        rowY_pad = np.pad(rowY, ((0, npad - n), (0, 0))).astype(tdt)
+        coh = np.pad(cols_oh[hidx],
+                     ((0, nhpad - len(hidx)), (0, 0))).astype(tdt)
+        raw = PK.born_sums(jnp.asarray(pos_pad), jnp.asarray(pos_h.T),
+                           jnp.asarray(hids), jnp.asarray(rowY_pad),
+                           jnp.asarray(coh), jnp.asarray(s), n, tile,
+                           interpret=True)
+        outs.append(np.asarray(raw))
+    np.testing.assert_array_equal(outs[0], outs[1])
