@@ -87,8 +87,16 @@ def main():
     dtype = np.float32 if platform != "cpu" else np.float64
 
     # CutoffNonPeriodic 1 nm: the reference benchmark configuration for this
-    # system (example/t4lysozyme_benchmark.py:14-16)
-    sim = Simulation(dms, version=1, cutoff=1.0, dtype=dtype, skin=0.25)
+    # system (example/t4lysozyme_benchmark.py:14-16).  In cutoff mode the
+    # reference's OpenCL backend truncates its Born/descreening sweeps at
+    # the cutoff too (r2 < CUTOFF_SQUARED over the cutoff neighbor list,
+    # OpenCLAGBNPKernels.cpp:2258 / AGBNPBornRadii.cl:268), so matching
+    # that is the apples-to-apples configuration; set
+    # BENCH_DESCREEN_HORIZON=lut for the Reference-platform 2 nm horizon.
+    dh = os.environ.get("BENCH_DESCREEN_HORIZON", "cutoff")
+    dh = None if dh == "lut" else ("cutoff" if dh == "cutoff" else float(dh))
+    sim = Simulation(dms, version=1, cutoff=1.0, dtype=dtype, skin=0.25,
+                     descreen_horizon=dh)
     res = sim.benchmark_langevin(nsteps=nsteps, dt=0.001, temperature=300.0,
                                  friction=1.0, neighbor_every=40)
 

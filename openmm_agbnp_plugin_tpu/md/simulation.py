@@ -52,7 +52,8 @@ class Simulation:
                  caps=None, pairs=None, skin: float = 0.15,
                  kmax: int | None = None, vsites=None, mixed: bool = False,
                  pair_kernel: bool | None = None,
-                 caps_boost: float = 1.10, constraints: bool = False):
+                 caps_boost: float = 1.10, constraints: bool = False,
+                 descreen_horizon=None):
         self.dms = dms
         self.dtype = dtype
         self.version = version
@@ -86,7 +87,8 @@ class Simulation:
                                     dtype=dtype, caps=caps, pairs=pairs,
                                     positions=dms.positions, mixed=mixed,
                                     pair_kernel=pair_kernel,
-                                    caps_boost=caps_boost)
+                                    caps_boost=caps_boost,
+                                    descreen_horizon=descreen_horizon)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)
@@ -134,7 +136,8 @@ class Simulation:
                             mixed=self.agbnp.mixed,
                             pair_pad=self.agbnp.pair_pad,
                             pair_interpret=self.agbnp.pair_interpret,
-                            mm_nb=mm_nb)
+                            mm_nb=mm_nb,
+                            descreen_horizon=self.agbnp.descreen_horizon)
         energy = out["energy"]
         e_mm_nb = out["details"].get("e_mm_nb")
         if e_mm_nb is not None:

@@ -185,7 +185,7 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
 
 
 def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
-                        pair_interpret: bool):
+                        pair_interpret: bool, horizon=None):
     """Born/GB/descreening pair phases via the fused Pallas tile kernels
     (ops/pallas/pairs.py), replacing ops/born.py's dense [N, N] HBM
     formulation.  Returns the same quantities the XLA path produces.
@@ -224,7 +224,8 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
         s_h = hpack(s_factor)
         raw = PK.born_sums(pos_pad, pos_hpad, hids_k, a["rowY_pad"],
                            a["cols_oh_hpad"], s_h,
-                           n, tile, box=boxv, interpret=pair_interpret)
+                           n, tile, box=boxv, interpret=pair_interpret,
+                           horizon=horizon)
         from ..models.constants import PIFAC
         # perm-space per-atom chain: Born radii, GB self, vdW dispersion
         beta = 1.0 / a["radii_vdw_perm"] - PIFAC * raw[:n]
@@ -257,7 +258,7 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
         w_h, u_h, swf_r, swf_c = PK.descreening(
             pos_pad, pos_hpad, hids_k, a["rowY_pad"], a["cols_oh_hpad"],
             s_h, padv(evdw_der_brw), padv(egb_der_bru), n, tile, box=boxv,
-            interpret=pair_interpret)
+            interpret=pair_interpret, horizon=horizon)
         swf_cols = jnp.zeros((n, 3), swf_c.dtype).at[hclip].add(
             jnp.where(hvalid[:, None], swf_c, 0.0))
         # back to atom order: row-side force and Born radii
@@ -278,7 +279,8 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   mixed: bool = False, neighbor_rcut: float = 0.0,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
                   pair_interpret: bool = False, pair_rows: bool = False,
-                  mm_nb=None, pair_shard=None, neighbor_grid=None):
+                  mm_nb=None, pair_shard=None, neighbor_grid=None,
+                  descreen_horizon=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -290,6 +292,13 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     use minimum-image deltas (CutoffPeriodic, AGBNPForce.h:55); the overlap
     tree keeps raw deltas like every reference backend (its overlaps span
     <~0.7 nm and assume a whole solute).
+
+    descreen_horizon < 2 nm truncates the Born-radius/descreening sweeps
+    at that distance — the reference's OpenCL-backend semantics in cutoff
+    mode (its sweeps ride the cutoff neighbor list and apply
+    r2 < CUTOFF_SQUARED, OpenCLAGBNPKernels.cpp:2258,
+    AGBNPBornRadii.cl:268).  Default None keeps the Reference-platform
+    2 nm LUT horizon (the parity ground truth).
     """
     if neighbor_kmax > 0:
         from ..ops.neighbors import cell_neighbor_pairs, half_neighbor_pairs
@@ -320,7 +329,9 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     e_mm_nb = None
     if pair_pad > 0:
         pp = _pair_phases_pallas(a, pos, cutoff, box, pair_pad,
-                                 pair_interpret)(s_factor, mm_nb=mm_nb)
+                                 pair_interpret,
+                                 horizon=descreen_horizon)(s_factor,
+                                                           mm_nb=mm_nb)
         gb_self, gb_pair_e, e_vdw = pp["gb_self"], pp["gb_pair"], pp["e_vdw"]
         br = pp["born_radius"]
         pair_force = pp["pair_force"]
@@ -338,7 +349,8 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
         accum = jnp.float64 if (mixed and pos.dtype != jnp.float64) else None
         geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
                             a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
-                            ntypes_j, accum_dtype=accum, box=box)
+                            ntypes_j, accum_dtype=accum, box=box,
+                            horizon=descreen_horizon)
         br = geom["born_radius"]
 
         gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff,
@@ -390,11 +402,18 @@ class AGBNPModel:
                  dtype=np.float64, pairs=None, positions=None,
                  mixed: bool = False, box=None,
                  pair_kernel: bool | None = None,
-                 caps_boost: float = 1.6):
+                 caps_boost: float = 1.6, descreen_horizon=None):
         self.params = params
         self.version = version
         self.cutoff = cutoff
         self.mixed = mixed
+        # "cutoff": truncate the Born/descreening sweeps at the nonbonded
+        # cutoff — the reference OpenCL backend's cutoff-mode semantics
+        # (r2 < CUTOFF_SQUARED in its sweeps, OpenCLAGBNPKernels.cpp:2258);
+        # None keeps the Reference-platform 2 nm LUT horizon
+        if descreen_horizon == "cutoff":
+            descreen_horizon = cutoff
+        self.descreen_horizon = descreen_horizon
         self.box = None if box is None else jnp.asarray(box, dtype)
         if caps is None:
             caps = self._sized_caps(params, positions, caps_boost)
@@ -505,7 +524,8 @@ class AGBNPModel:
             neighbor_rcut=self.neighbor_rcut,
             neighbor_kmax=self.neighbor_kmax,
             neighbor_grid=self.neighbor_grid, box=self.box,
-            pair_pad=self.pair_pad, pair_interpret=self.pair_interpret))
+            pair_pad=self.pair_pad, pair_interpret=self.pair_interpret,
+            descreen_horizon=self.descreen_horizon))
 
     def energy_forces(self, pos, with_details: bool = False):
         out = self._jit_ef(self.arrays, jnp.asarray(pos, self.dtype))

@@ -157,17 +157,23 @@ def _sum_all(x, accum_dtype):
 
 def born_radii(pos, radii_vdw, s_factor, ishydrogen, type_i, type_j,
                yflat, y2flat, ntypes_j, ntypes_i=None, accum_dtype=None,
-               box=None):
+               box=None, horizon=None):
     """Inverse Born radii: 1/B_i = 1/R_i - (1/4pi) sum_j s_j Q4(d_ij).
 
     Heavy-atom screeners only; 2 nm table horizon
-    (reference ReferenceAGBNPKernels.cpp:437-454).
+    (reference ReferenceAGBNPKernels.cpp:437-454).  `horizon` < 2 nm
+    truncates the descreening sums at that distance instead — the
+    reference's OpenCL backend behavior in cutoff mode, where these sweeps
+    ride the cutoff neighbor list and apply r2 < CUTOFF_SQUARED
+    (OpenCLAGBNPKernels.cpp:2258, AGBNPBornRadii.cl:268).
     Returns dict(born_radius, inv_br, inv_br_fp, Q, dQ, pair_mask, dist, d).
     Q/dQ are kept for the descreening derivative sweep.
     """
     dist, d2, d, eye = _pair_geometry(pos, box)
     screener = (ishydrogen[None, :] == 0)
-    pair_mask = (~eye) & screener & (d < AGBNP_I4LOOKUP_MAXA)
+    hmax = AGBNP_I4LOOKUP_MAXA if horizon is None \
+        else min(horizon, AGBNP_I4LOOKUP_MAXA)
+    pair_mask = (~eye) & screener & (d < hmax)
 
     tj_cols = jnp.maximum(type_j, 0)
     if ntypes_i is None:
@@ -222,7 +228,8 @@ def gb_energy(pos, charge, born_radius, geom, cutoff=None,
 def pair_phases_rows(pos_blk, row_ids, pos, radii_vdw_blk, s_factor,
                      ishydrogen, type_i_blk, type_j, yflat, y2flat,
                      ntypes_j, charge_blk, charge, alpha_blk, cutoff=None,
-                     box=None, psum=lambda x: x, all_gather=lambda x: x):
+                     box=None, psum=lambda x: x, all_gather=lambda x: x,
+                     horizon=None):
     """All four pair phases (Born radii -> GB -> vdW -> descreening) for a
     row block of screened atoms against all screeners — the decomposition
     unit for multi-chip atom sharding.
@@ -260,7 +267,9 @@ def pair_phases_rows(pos_blk, row_ids, pos, radii_vdw_blk, s_factor,
     d_div = jnp.where(d > 0.0, d, 1.0)
 
     screener = ishydrogen[None, :] == 0
-    pair_mask = (~eye) & screener & (d < AGBNP_I4LOOKUP_MAXA)
+    hmax = AGBNP_I4LOOKUP_MAXA if horizon is None \
+        else min(horizon, AGBNP_I4LOOKUP_MAXA)
+    pair_mask = (~eye) & screener & (d < hmax)
     tj_cols = jnp.maximum(type_j, 0)
     ntypes_i = yflat.shape[0] // (ntypes_j * AGBNP_I4LOOKUP_NA)
     q, dq = spline_lookup_pairs(d, type_i_blk, tj_cols, yflat, y2flat,

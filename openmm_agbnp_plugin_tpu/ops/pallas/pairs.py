@@ -198,7 +198,7 @@ def _tile_ids(ti_, tj_, i, j):
 # ---------------------------------------------------------------------------
 
 def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, out,
-                 *, ntj, n, box):
+                 *, ntj, n, box, horizon):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ti_ = pxr.shape[1]
@@ -207,7 +207,7 @@ def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, out,
     gi = jax.lax.broadcasted_iota(jnp.int32, (ti_, pxc.shape[1]), 0) + i * ti_
     gj = hid[0][None, :]
     mask = ((gi != gj) & (gi < n) & (gj >= 0)
-            & (d < AGBNP_I4LOOKUP_MAXA))
+            & (d < horizon))
 
     @pl.when(j == 0)
     def _():
@@ -224,7 +224,7 @@ def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, out,
 
 
 def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
-              box=None, interpret=False):
+              box=None, interpret=False, horizon=None):
     """raw_i = sum_j s_j Q4(d_ij) with the screener (column) axis packed to
     heavy atoms only: hydrogens never screen (zero self-volume and screener
     type -1, reference AGBNPUtils.cpp:168-171), so their columns are
@@ -245,7 +245,9 @@ def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
     col = lambda i, j: (0, j)
     out = pl.pallas_call(
         functools.partial(_born_kernel, ntj=ntj, n=n,
-                          box=None if box is None else tuple(box)),
+                          box=None if box is None else tuple(box),
+                          horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
+                                   else min(horizon, AGBNP_I4LOOKUP_MAXA))),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row),
@@ -399,7 +401,7 @@ def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,
 
 def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj,
                      brwr, brur, fx, fy, fz, wcol, ucol, fcx, fcy, fcz,
-                     *, ntj, n, box):
+                     *, ntj, n, box, horizon):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ti_ = pxr.shape[1]
@@ -408,7 +410,7 @@ def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj,
     d = jnp.sqrt(d2)
     gi = jax.lax.broadcasted_iota(jnp.int32, (ti_, tj_), 0) + i * ti_
     gj = hid[0][None, :]
-    mask = (gi != gj) & (gi < n) & (gj >= 0) & (d < AGBNP_I4LOOKUP_MAXA)
+    mask = (gi != gj) & (gi < n) & (gj >= 0) & (d < horizon)
 
     # column accumulators live as full-width [1, NHP] blocks with a constant
     # index map: the TPU grid is serial, so the whole row stays in VMEM for
@@ -452,7 +454,8 @@ def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj,
 
 
 def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
-                brw_pad, bru_pad, n, tile, box=None, interpret=False):
+                brw_pad, bru_pad, n, tile, box=None, interpret=False,
+                horizon=None):
     """Descreening derivative sweep (reference
     ReferenceAGBNPKernels.cpp:555-586, VdWGBDerBorn
     AGBNPBornRadii.cl:872-1280) with heavy-packed screener columns.
@@ -475,7 +478,9 @@ def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
     colshp = jax.ShapeDtypeStruct((1, nhpad), dt)
     fx, fy, fz, w, u, fcx, fcy, fcz = pl.pallas_call(
         functools.partial(_descreen_kernel, ntj=ntj, n=n,
-                          box=None if box is None else tuple(box)),
+                          box=None if box is None else tuple(box),
+                          horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
+                                   else min(horizon, AGBNP_I4LOOKUP_MAXA))),
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile), row)] * 3
         + [pl.BlockSpec((1, tile), col)] * 3

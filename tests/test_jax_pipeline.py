@@ -208,3 +208,26 @@ def test_bf16_split_tables_bit_exact(gaussvol_system):
                            interpret=True)
         outs.append(np.asarray(raw))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.slow
+def test_descreen_horizon_pallas_matches_xla(gaussvol_system):
+    """OpenCL-backend cutoff semantics (Born/descreening sweeps truncated at
+    the nonbonded cutoff, reference OpenCLAGBNPKernels.cpp:2258): the Pallas
+    and XLA paths must agree under the same truncated horizon, and the
+    truncation must actually change the energy vs the 2 nm default."""
+    params, pos = gaussvol_system
+    kw = dict(version=1, cutoff=1.0, positions=np.asarray(pos))
+    m_xla = AGBNPModel(params, dtype=np.float64, pair_kernel=False,
+                       descreen_horizon="cutoff", **kw)
+    m_pal = AGBNPModel(params, dtype=np.float32, pair_kernel=True,
+                       descreen_horizon="cutoff", **kw)
+    m_ref = AGBNPModel(params, dtype=np.float64, pair_kernel=False, **kw)
+    e0, f0 = m_xla.energy_forces(pos)
+    e1, f1 = m_pal.energy_forces(pos)
+    er, _ = m_ref.energy_forces(pos)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert abs(float(e1) - float(e0)) <= 5e-3
+    assert np.abs(f1 - f0).max() <= 3e-6 * np.abs(f0).max()
+    # the 1 nm truncation is a real (small) physics change vs 2 nm
+    assert abs(float(er) - float(e0)) > 1e-3
