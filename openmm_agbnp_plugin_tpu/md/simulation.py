@@ -144,7 +144,7 @@ class Simulation:
             energy = energy + e_mm_nb
         return energy, out["force"], out["diag"]["counts"]
 
-    def ff_state(self):
+    def ff_state(self, fuse_mm: bool | None = None):
         """The force-field parameter pytree the MD runners take as a jit
         ARGUMENT.  Closing over the host numpy arrays instead would bake
         them into the compiled graph as constants — XLA then constant-folds
@@ -153,7 +153,8 @@ class Simulation:
         ff = dict(a=self.agbnp.arrays)
         if self.mm is not None:
             ff["mm"] = self.mm.arrays
-            fuse_mm = self.agbnp.pair_kernel and self.agbnp.version == 1
+            if fuse_mm is None:
+                fuse_mm = self.agbnp.pair_kernel and self.agbnp.version == 1
             if fuse_mm:
                 # exclusion lists in the pair kernels' Morton-permuted row
                 # space (rows reordered, atom-id values remapped)
@@ -166,7 +167,22 @@ class Simulation:
                 ff["mm_excl_mask"] = self.mm._excl_mask()
         return ff
 
-    def force_fn(self, pairs=None, topology=None, ff=None):
+    def _sharded_ef(self, mesh):
+        """Cached sharded_energy_forces closure for this mesh (the full
+        tree+pair AGBNP1 pipeline decomposed over the `atoms` axis,
+        parallel/sharding.py)."""
+        if getattr(self, "_sharded_fn_mesh", None) is not mesh:
+            from ..parallel.sharding import sharded_energy_forces
+
+            self._sharded_fn = sharded_energy_forces(
+                mesh, self.agbnp.arrays, self.agbnp.params.roffset,
+                self.agbnp.ntypes_j, cutoff=self.agbnp.cutoff,
+                box=self.agbnp.box,
+                descreen_horizon=self.agbnp.descreen_horizon)
+            self._sharded_fn_mesh = mesh
+        return self._sharded_fn
+
+    def force_fn(self, pairs=None, topology=None, ff=None, mesh=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
@@ -175,6 +191,11 @@ class Simulation:
         LJ/Coulomb sum and its forces ride the fused GB sweep; only the
         bonded terms and exclusion/1-4 corrections go through autodiff.
 
+        With mesh (jax.sharding.Mesh with an "atoms" axis), the AGBNP pair
+        phases AND fixed-topology tree passes run sharded over the mesh via
+        shard_map (multi-chip single-system MD); requires a topology and
+        version 1.  MM terms and the integrator stay replicated.
+
         ff: optional ff_state() pytree (may be traced); without it the
         stored host arrays are used (and become graph constants)."""
         from .vsites import project_positions, spread_forces
@@ -182,10 +203,13 @@ class Simulation:
         if self.agbnp2 is not None:
             return self._force_fn_v2()
 
+        if mesh is not None and (topology is None or self.agbnp.version != 1):
+            raise ValueError("mesh-sharded force requires version 1 and a "
+                             "prebuilt topology")
         fuse_mm = (self.mm is not None and self.agbnp.pair_kernel
-                   and self.agbnp.version == 1)
+                   and self.agbnp.version == 1 and mesh is None)
         if ff is None:
-            ff = self.ff_state()
+            ff = self.ff_state(fuse_mm=fuse_mm)
         a = ff["a"]
         mm_a = ff.get("mm")
         mm_nb = None
@@ -195,11 +219,22 @@ class Simulation:
                          excl_rows_perm=_jnp.asarray(
                              ff["mm_excl_rows_perm"]))
 
+        if mesh is not None:
+            sfn = self._sharded_ef(mesh)
+
+            def agbnp_part(pos):
+                out = sfn(pos, topology, arrays=a)
+                counts = jnp.stack([jnp.sum(t["valid"]) for t in topology])
+                return out["energy"], out["force"], counts
+        else:
+            def agbnp_part(pos):
+                return self._agbnp_force(pos, pairs, topology,
+                                         mm_nb=mm_nb, a=a)
+
         def fn(pos):
             if self.vsites is not None:
                 pos = project_positions(pos, self.vsites)
-            energy, force, counts = self._agbnp_force(pos, pairs, topology,
-                                                      mm_nb=mm_nb, a=a)
+            energy, force, counts = agbnp_part(pos)
             if self.mm is not None:
                 if fuse_mm:
                     mm_e = partial(self.mm.energy_bonded_and_14, a=mm_a)
@@ -264,8 +299,14 @@ class Simulation:
     def make_langevin_runner(self, dt=0.001, temperature=300.0, friction=1.0,
                              neighbor_every: int = 10,
                              rebuild_topology: bool = True,
-                             topology_relax=None):
+                             topology_relax=None, mesh=None):
         """Returns run(pos, vel, key, nsteps) — a nested-scan Langevin loop.
+
+        With mesh (an "atoms"-axis jax.sharding.Mesh), every step's AGBNP
+        pair phases and fixed-topology tree passes run sharded over the
+        mesh (multi-chip single-system MD, parallel/sharding.py); the tree
+        build at each rebuild boundary, the MM terms, and the integrator
+        stay replicated.  Requires version 1 with rebuild windows.
 
         With neighbor_every > 0, the half neighbor list is rebuilt on device
         every `neighbor_every` steps and the tree's 2-body candidates come
@@ -285,6 +326,11 @@ class Simulation:
 
         if self.agbnp2 is not None:
             neighbor_every = 0  # v2 rebuilds everything per step
+
+        if mesh is not None and (neighbor_every <= 0 or not rebuild_topology):
+            raise ValueError("mesh-sharded MD requires topology-rebuild "
+                             "windows (neighbor_every > 0, "
+                             "rebuild_topology=True)")
 
         if neighbor_every <= 0:
             @partial(jax.jit, static_argnames=("nsteps",))
@@ -322,15 +368,20 @@ class Simulation:
                     lvl1 = _T.make_level1(pos, a["radii_large"],
                                           a["vol_large"], gdr,
                                           a["ishydrogen"])
+                    # the sharded reduce passes can't use the single-chip
+                    # rank kernels (metadata isn't row-aligned), so skip
+                    # building their metadata under a mesh
                     levels, bdiag = _T.build_tree(lvl1, pi, pj, caps,
                                                   pairs_valid=pv,
                                                   relax=topology_relax,
-                                                  pair_rows=True)
+                                                  pair_rows=True,
+                                                  rank_info=mesh is None)
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
                     sib_max = bdiag["max_siblings"]
                 inner = langevin_middle_step(
-                    self.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff),
+                    self.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff,
+                                  mesh=mesh),
                     masses, dt, temperature, friction,
                     constraints=self.constraints)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
@@ -347,7 +398,8 @@ class Simulation:
                      jnp.max(sibs, axis=0)))
 
         def run(pos, vel, key, nsteps: int):
-            ff = self.ff_state()
+            ff = self.ff_state() if mesh is None else self.ff_state(
+                fuse_mm=False)
             nouter, rem = divmod(nsteps, neighbor_every)
             outs = []
             if nouter:

@@ -151,7 +151,8 @@ def _shard_topology(topology, ndev: int):
 
 
 def sharded_energy_forces(mesh: Mesh, a: dict, roffset: float, ntypes_j: int,
-                          cutoff=None, box=None, axis: str = "atoms"):
+                          cutoff=None, box=None, axis: str = "atoms",
+                          descreen_horizon=None):
     """The FULL fixed-topology AGBNP1 pipeline sharded over one mesh axis:
     cavity tree passes (rescan_volumes2 + reduce_tree2) and the W/U
     gamma-rescan force pass run on row BLOCKS of the overlap-tree levels
@@ -179,9 +180,6 @@ def sharded_energy_forces(mesh: Mesh, a: dict, roffset: float, ntypes_j: int,
     pad = npad - n
     comm = T.TreeComm(axis=axis, ndev=ndev)
 
-    def padded(x, fill=0.0):
-        return jnp.pad(jnp.asarray(x), (0, pad), constant_values=fill)
-
     def body(topo, rep, pos_blk, row_blk, radii_blk, ti_blk, ch_blk,
              al_blk):
         pos = rep["pos"]
@@ -202,7 +200,7 @@ def sharded_energy_forces(mesh: Mesh, a: dict, roffset: float, ntypes_j: int,
             pos_blk, row_blk, pos, radii_blk, s_factor, rep["ish"], ti_blk,
             rep["type_j"], rep["yflat"], rep["y2flat"], ntypes_j, ch_blk,
             rep["charge"], al_blk, cutoff=cutoff, box=box,
-            psum=psum, all_gather=gather)
+            psum=psum, all_gather=gather, horizon=descreen_horizon)
 
         # self-volume-gradient forces via the fused W+U gamma rescan
         gamma_WU = (pp["evdw_der_W"] + pp["egb_der_U"]) / rep["vol_vdw_all"]
@@ -234,34 +232,43 @@ def sharded_energy_forces(mesh: Mesh, a: dict, roffset: float, ntypes_j: int,
                        born_radius=P(axis)),
     )
 
-    def fn(pos, topology):
+    def fn(pos, topology, arrays=None):
+        # arrays: pass the force-field dict as a TRACED argument from jitted
+        # MD runners (closing over host numpy bakes [N]-array constants into
+        # the graph — see AGBNPModel._build_jit's ff-as-args convention);
+        # defaults to the dict captured at construction for one-shot use
+        av = a if arrays is None else arrays
         dt = pos.dtype
         topo = _shard_topology(topology, ndev)
         rep = dict(
             pos=pos,
-            radii_large=jnp.asarray(a["radii_large"], dt),
-            vol_large=jnp.asarray(a["vol_large"], dt),
-            radii_vdw=jnp.asarray(a["radii_vdw"], dt),
-            vol_vdw=jnp.asarray(a["vol_vdw"], dt),
-            vol_vdw_all=jnp.asarray(a["vol_vdw_all"], dt),
-            gamma_dr=jnp.asarray(a["gamma"], dt) / roffset,
-            ishydrogen=jnp.asarray(a["ishydrogen"], jnp.int32),
-            ish=jnp.asarray(a["ishydrogen"], jnp.int32),
-            type_j=jnp.asarray(a["type_j"], jnp.int32),
-            yflat=jnp.asarray(a["yflat"], dt),
-            y2flat=jnp.asarray(a["y2flat"], dt),
-            charge=jnp.asarray(a["charge"], dt),
+            radii_large=jnp.asarray(av["radii_large"], dt),
+            vol_large=jnp.asarray(av["vol_large"], dt),
+            radii_vdw=jnp.asarray(av["radii_vdw"], dt),
+            vol_vdw=jnp.asarray(av["vol_vdw"], dt),
+            vol_vdw_all=jnp.asarray(av["vol_vdw_all"], dt),
+            gamma_dr=jnp.asarray(av["gamma"], dt) / roffset,
+            ishydrogen=jnp.asarray(av["ishydrogen"], jnp.int32),
+            ish=jnp.asarray(av["ishydrogen"], jnp.int32),
+            type_j=jnp.asarray(av["type_j"], jnp.int32),
+            yflat=jnp.asarray(av["yflat"], dt),
+            y2flat=jnp.asarray(av["y2flat"], dt),
+            charge=jnp.asarray(av["charge"], dt),
         )
         # padded rows sit far away with zero charge/alpha so every padded
         # pair contribution is zero (same scheme as sharded_pair_phases)
         far = 1e3 * (1.0 + 0.618 * jnp.arange(pad, dtype=dt))
         pos_p = jnp.concatenate(
             [pos, jnp.stack([far, far, far], axis=-1)], axis=0)
+
+        def padt(x, fill=0.0):
+            return jnp.pad(jnp.asarray(x), (0, pad), constant_values=fill)
+
         out = smapped(
             topo, rep, pos_p, jnp.arange(npad, dtype=jnp.int32),
-            padded(a["radii_vdw"], 0.1).astype(dt),
-            padded(a["type_i"]).astype(jnp.int32),
-            padded(a["charge"]).astype(dt), padded(a["alpha"]).astype(dt))
+            padt(av["radii_vdw"], 0.1).astype(dt),
+            padt(av["type_i"]).astype(jnp.int32),
+            padt(av["charge"]).astype(dt), padt(av["alpha"]).astype(dt))
         out["born_radius"] = out["born_radius"][:n]
         return out
 

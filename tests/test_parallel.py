@@ -136,3 +136,24 @@ def test_replica_ensemble_md(tiny_sim):
     assert not tiny_sim._check_overflow(
         np.asarray(counts).max(axis=0), int(np.asarray(nbmax).max()),
         np.asarray(sibs).max(axis=0))
+
+
+@pytest.mark.slow
+def test_sharded_md_runner_matches_plain(tiny_sim):
+    """Multi-chip MD: make_langevin_runner(mesh=...) runs every step's
+    AGBNP pair + tree passes sharded over the 8-device atoms mesh and must
+    reproduce the single-device runner's trajectory (same PRNG stream) to
+    f64 roundoff."""
+    from openmm_agbnp_plugin_tpu.parallel.sharding import atom_mesh
+
+    mesh = atom_mesh(8)
+    run_s = tiny_sim.make_langevin_runner(dt=0.001, neighbor_every=6,
+                                          mesh=mesh)
+    run_p = tiny_sim.make_langevin_runner(dt=0.001, neighbor_every=6)
+    key = jax.random.PRNGKey(7)
+    ps, _, _, es, _ = run_s(tiny_sim.positions, tiny_sim.velocities, key, 12)
+    pp, _, _, ep, _ = run_p(tiny_sim.positions, tiny_sim.velocities, key, 12)
+    np.testing.assert_allclose(np.asarray(es), np.asarray(ep),
+                               rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(pp),
+                               rtol=0, atol=1e-12)
