@@ -583,7 +583,8 @@ class Simulation:
         if segment is None:
             segment = min(nsteps, 50 * neighbor_every)
         segment -= segment % neighbor_every or 0
-        assert segment > 0 and nsteps % neighbor_every == 0
+        segment = max(segment, min(nsteps, neighbor_every))
+        assert segment > 0
 
         run = self.make_langevin_runner(dt, temperature, friction,
                                         neighbor_every=neighbor_every)
@@ -595,8 +596,8 @@ class Simulation:
         regrows = 0
         t0 = time.perf_counter()
         while done < nsteps:
+            # the runner splits any n into full windows + a remainder
             n = min(segment, nsteps - done)
-            n -= n % neighbor_every
             new_pos, new_vel, new_key, e, (counts, nbmax, sibs) = \
                 run(pos, vel, key, n)
             counts = np.asarray(counts)  # sync
