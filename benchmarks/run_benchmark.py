@@ -28,7 +28,7 @@ CUTOFFS = {"trpcage_agbnp1": None, "1li2_agbnp1": 1.0, "1dwc_agbnp1": 1.0,
            "2clr_agbnp1": 1.0, "rnaseh_agbnp1": 1.0}
 
 
-def run_one(name, steps, dtype, out_dms=None):
+def run_one(name, steps, dtype, out_dms=None, descreen_horizon=None):
     import numpy as np
 
     from openmm_agbnp_plugin_tpu.io.dms import load_dms, save_dms
@@ -38,7 +38,7 @@ def run_one(name, steps, dtype, out_dms=None):
     path = os.path.join(here, "data", f"{name}.dms")
     dms = load_dms(path)
     sim = Simulation(dms, version=1, cutoff=CUTOFFS.get(name), dtype=dtype,
-                     skin=0.25)
+                     skin=0.25, descreen_horizon=descreen_horizon)
     res = sim.benchmark_langevin(nsteps=steps, dt=0.001, temperature=300.0,
                                  friction=1.0, neighbor_every=40)
     print(json.dumps(dict(system=name, natoms=dms.n, steps=steps,
@@ -62,7 +62,14 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--save", default=None,
                     help="write final state to this .dms path")
+    ap.add_argument("--descreen-horizon", default=None,
+                    help='"cutoff" for the reference OpenCL backend\'s '
+                         "cutoff-mode semantics, a float (nm), or unset "
+                         "for the Reference-platform 2 nm LUT horizon")
     args = ap.parse_args()
+    dh = args.descreen_horizon
+    if dh not in (None, "cutoff"):
+        dh = float(dh)
 
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -76,7 +83,8 @@ def main():
     systems = SYSTEMS if args.all else [args.system]
     for name in systems:
         run_one(name, args.steps, dtype,
-                out_dms=args.save if not args.all else None)
+                out_dms=args.save if not args.all else None,
+                descreen_horizon=dh)
 
 
 if __name__ == "__main__":

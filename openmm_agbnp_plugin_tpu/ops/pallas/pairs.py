@@ -275,87 +275,105 @@ def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
 def _gb_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
                sgr, sgc, epr, epc, exr,
                erow, yrow, fx, fy, fz, mmrow, *, n, box, cutoff, with_mm):
+    """Triangular sweep: each unordered pair is computed ONCE, on the tile
+    with j >= i (the reference's own y <= x tile convention,
+    AGBNPBornRadii.cl:372), and deposited on BOTH sides into full-width
+    VMEM-resident accumulators — half the tile work of a full sweep."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    ti_ = pxr.shape[1]
-    tj_ = pxc.shape[1]
-    dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
-    gi, gj = _tile_ids(ti_, tj_, i, j)
-    mask = (gi != gj) & (gi < n) & (gj < n)
-    if cutoff is not None:
-        mask = mask & (d2 < cutoff * cutoff)
-    dt = dx.dtype
 
-    @pl.when(j == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         for ref in (erow, yrow, fx, fy, fz) + ((mmrow,) if with_mm else ()):
-            ref[0, :] = jnp.zeros_like(ref[0, :])
+            ref[...] = jnp.zeros_like(ref)
 
-    # with a cutoff every pair term vanishes on fully-out-of-range tiles
-    # (fgb, mw, fmm all carry the mask factor), so they skip the tile body
-    # entirely — with Morton-ordered atoms most far tiles do
-    @pl.when(jnp.any(mask))
+    @pl.when(j >= i)
     def _():
-        fm = mask.astype(dt)
-        # sanitize masked pairs (padded atoms have B=0): keep etij finite so
-        # NaNs cannot leak through multiplications with the zeroed fgb
-        bb = br[0][:, None] * bc[0][None, :]
-        bb_safe = jnp.where(mask, bb, 1.0)
-        etij = jnp.exp(-0.25 * jnp.where(mask, d2, 0.0) / bb_safe)
-        inv = jax.lax.rsqrt(jnp.where(mask, d2 + bb * etij, 1.0))
-        fgb = fm * inv
-        qq_f = qr[0][:, None] * qc[0][None, :]
-        qq = DIELECTRIC_FACTOR * qq_f
+        ti_ = pxr.shape[1]
+        tj_ = pxc.shape[1]
+        dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+        gi, gj = _tile_ids(ti_, tj_, i, j)
+        # strict upper triangle: every unordered pair exactly once
+        mask = (gi < gj) & (gj < n)
+        if cutoff is not None:
+            mask = mask & (d2 < cutoff * cutoff)
+        dt = dx.dtype
+        rsl = (0, pl.dslice(i * ti_, ti_))
+        csl = (0, pl.dslice(j * tj_, tj_))
 
-        epart = jnp.sum(qq * fgb, axis=1)
-        fgb3 = fgb * fgb * fgb
-        mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
-        ypart = jnp.sum(qq_f * (bb + 0.25 * d2) * etij * fgb3, axis=1)
+        # with a cutoff every pair term vanishes on fully-out-of-range
+        # tiles (fgb, mw, fmm all carry the mask factor), so they skip the
+        # tile body entirely — with Morton-ordered atoms most far tiles do
+        @pl.when(jnp.any(mask))
+        def _():
+            fm = mask.astype(dt)
+            # sanitize masked pairs (padded atoms have B=0): keep etij
+            # finite so NaNs cannot leak through the zeroed fgb
+            bb = br[0][:, None] * bc[0][None, :]
+            bb_safe = jnp.where(mask, bb, 1.0)
+            etij = jnp.exp(-0.25 * jnp.where(mask, d2, 0.0) / bb_safe)
+            inv = jax.lax.rsqrt(jnp.where(mask, d2 + bb * etij, 1.0))
+            fgb = fm * inv
+            qq_f = qr[0][:, None] * qc[0][None, :]
+            qq = DIELECTRIC_FACTOR * qq_f
 
-        if with_mm:
-            # OPLS LJ (geometric rules) + Coulomb riding the same tile
-            # geometry (the dense sum of md/forces.py).  Excluded pairs are
-            # skipped IN-KERNEL via the per-row exclusion lists: subtracting
-            # them outside (computed by a different op sequence) would leave
-            # f32 cancellation residue of the huge bonded-pair LJ terms
-            ex = exr[...]  # [TI, E]
-            excluded = jnp.zeros_like(mask)
-            for e in range(ex.shape[1]):
-                excluded = excluded | (ex[:, e][:, None] == gj)
-            fmm = fm * (~excluded).astype(dt)
-            inv2 = fmm / jnp.where(mask, d2, 1.0)
-            sr2 = (sgr[0][:, None] * sgc[0][None, :]) * inv2
-            sr6 = sr2 * sr2 * sr2
-            epsij = epr[0][:, None] * epc[0][None, :]
-            rinv = fmm * jax.lax.rsqrt(jnp.where(mask, d2, 1.0))
-            ecoul = _KE * qq_f * rinv
-            elj = 4.0 * epsij * (sr6 * sr6 - sr6)
-            mmpart = jnp.sum(elj + ecoul, axis=1)
-            # dE/d(d2) summed once per pair from each row side -> factor 2
-            dmm = (4.0 * epsij * (-6.0 * sr6 * sr6 + 3.0 * sr6)
-                   - 0.5 * ecoul) * inv2
-            mw = mw + 2.0 * dmm
-            mmrow[0, :] = mmrow[0, :] + mmpart
+            epair = qq * fgb
+            fgb3 = fgb * fgb * fgb
+            mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
+            ypair = qq_f * (bb + 0.25 * d2) * etij * fgb3
 
-        erow[0, :] = erow[0, :] + epart
-        yrow[0, :] = yrow[0, :] + ypart
-        fx[0, :] = fx[0, :] + jnp.sum(dx * mw, axis=1)
-        fy[0, :] = fy[0, :] + jnp.sum(dy * mw, axis=1)
-        fz[0, :] = fz[0, :] + jnp.sum(dz * mw, axis=1)
+            if with_mm:
+                # OPLS LJ (geometric rules) + Coulomb riding the same tile
+                # geometry.  Excluded pairs are skipped IN-KERNEL via the
+                # per-row exclusion lists (symmetric, so the row side
+                # suffices): subtracting them outside would leave f32
+                # cancellation residue of the huge bonded-pair LJ terms
+                ex = exr[...]  # [TI, E]
+                excluded = jnp.zeros_like(mask)
+                for e in range(ex.shape[1]):
+                    excluded = excluded | (ex[:, e][:, None] == gj)
+                fmm = fm * (~excluded).astype(dt)
+                inv2 = fmm / jnp.where(mask, d2, 1.0)
+                sr2 = (sgr[0][:, None] * sgc[0][None, :]) * inv2
+                sr6 = sr2 * sr2 * sr2
+                epsij = epr[0][:, None] * epc[0][None, :]
+                rinv = fmm * jax.lax.rsqrt(jnp.where(mask, d2, 1.0))
+                ecoul = _KE * qq_f * rinv
+                elj = 4.0 * epsij * (sr6 * sr6 - sr6)
+                mmpair = elj + ecoul
+                dmm = (4.0 * epsij * (-6.0 * sr6 * sr6 + 3.0 * sr6)
+                       - 0.5 * ecoul) * inv2
+                mw = mw + 2.0 * dmm
+                mmrow[rsl] += jnp.sum(mmpair, axis=1)
+                mmrow[csl] += jnp.sum(mmpair, axis=0)
+
+            erow[rsl] += jnp.sum(epair, axis=1)
+            erow[csl] += jnp.sum(epair, axis=0)
+            yrow[rsl] += jnp.sum(ypair, axis=1)
+            yrow[csl] += jnp.sum(ypair, axis=0)
+            cx = dx * mw
+            cy = dy * mw
+            cz = dz * mw
+            fx[rsl] += jnp.sum(cx, axis=1)
+            fx[csl] += -jnp.sum(cx, axis=0)
+            fy[rsl] += jnp.sum(cy, axis=1)
+            fy[csl] += -jnp.sum(cy, axis=0)
+            fz[rsl] += jnp.sum(cz, axis=1)
+            fz[csl] += -jnp.sum(cz, axis=0)
 
 
 def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,
             sig_pad=None, epsq_pad=None, excl_rows_pad=None,
             interpret=False):
     """GB pair sweep (reference ReferenceAGBNPKernels.cpp:464-504,
-    GBPairEnergy kernel AGBNPGBEnergy.cl:58-383).
+    GBPairEnergy kernel AGBNPGBEnergy.cl:58-383), triangular tiles.
 
     Returns (gb_pair_energy_rows [NP], Y_rows [NP], force [NP, 3],
     mm_rows [NP] or None); the row energy sums count each unordered pair
-    twice, matching the reference's 2 f_eps qq fgb pair term when summed
-    (halve the mm_rows sum for the MM energy).  With sig_pad/epsq_pad
-    (sigma and sqrt(epsilon)), the OPLS dense LJ+Coulomb sum and its forces
-    ride the same sweep.
+    twice (deposited once on each side), matching the reference's
+    2 f_eps qq fgb pair term when summed (halve the mm_rows sum for the MM
+    energy).  With sig_pad/epsq_pad (sigma and sqrt(epsilon)), the OPLS
+    dense LJ+Coulomb sum and its forces ride the same sweep.
     """
     npad = pos_pad.shape[1]
     grid = (npad // tile, npad // tile)
@@ -363,6 +381,7 @@ def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,
     with_mm = sig_pad is not None
     row = lambda i, j: (0, i)
     col = lambda i, j: (0, j)
+    full = lambda i, j: (0, 0)
     shp = jax.ShapeDtypeStruct((1, npad), dt)
     if not with_mm:
         sig_pad = jnp.zeros(npad, dt)
@@ -381,7 +400,7 @@ def gb_pair(pos_pad, charge_pad, born_pad, n, tile, box=None, cutoff=None,
            pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
            pl.BlockSpec((tile, excl_rows_pad.shape[1]),
                         lambda i, j: (i, 0))],
-        out_specs=[pl.BlockSpec((1, tile), row)] * 6,
+        out_specs=[pl.BlockSpec((1, npad), full)] * 6,
         out_shape=[shp] * 6,
         interpret=interpret,
     )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
