@@ -220,12 +220,24 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
         return jnp.zeros(n, xh.dtype).at[hclip].add(
             jnp.where(hvalid, xh, 0.0))
 
+    # share Q/dQ between the Born and descreening sweeps (one spline
+    # contraction instead of two) unless the [NP, NHP] tile buffers would
+    # be unreasonably large in HBM (>1 GB for the pair)
+    nhpad = int(a["hids_pad"].shape[0])
+    save_qd = pair_pad * nhpad * 8 <= (1 << 30)
+
     def run(s_factor, mm_nb=None):
         s_h = hpack(s_factor)
-        raw = PK.born_sums(pos_pad, pos_hpad, hids_k, a["rowY_pad"],
-                           a["cols_oh_hpad"], s_h,
-                           n, tile, box=boxv, interpret=pair_interpret,
-                           horizon=horizon)
+        born_out = PK.born_sums(pos_pad, pos_hpad, hids_k, a["rowY_pad"],
+                                a["cols_oh_hpad"], s_h,
+                                n, tile, box=boxv, interpret=pair_interpret,
+                                horizon=horizon, save_qd=save_qd)
+        qd = None
+        if save_qd:
+            raw, q_t, dq_t = born_out
+            qd = (q_t, dq_t)
+        else:
+            raw = born_out
         from ..models.constants import PIFAC
         # perm-space per-atom chain: Born radii, GB self, vdW dispersion
         beta = 1.0 / a["radii_vdw_perm"] - PIFAC * raw[:n]
@@ -258,7 +270,7 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
         w_h, u_h, swf_r, swf_c = PK.descreening(
             pos_pad, pos_hpad, hids_k, a["rowY_pad"], a["cols_oh_hpad"],
             s_h, padv(evdw_der_brw), padv(egb_der_bru), n, tile, box=boxv,
-            interpret=pair_interpret, horizon=horizon)
+            interpret=pair_interpret, horizon=horizon, qd=qd)
         swf_cols = jnp.zeros((n, 3), swf_c.dtype).at[hclip].add(
             jnp.where(hvalid[:, None], swf_c, 0.0))
         # back to atom order: row-side force and Born radii

@@ -197,8 +197,9 @@ def _tile_ids(ti_, tj_, i, j):
 # Kernel A: inverse-Born-radius descreening sums
 # ---------------------------------------------------------------------------
 
-def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, out,
-                 *, ntj, n, box, horizon):
+def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, *refs,
+                 ntj, n, box, horizon, save_qd):
+    out = refs[0]
     i = pl.program_id(0)
     j = pl.program_id(1)
     ti_ = pxr.shape[1]
@@ -213,18 +214,28 @@ def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, out,
     def _():
         out[0, :] = jnp.zeros_like(out[0, :])
 
-    # the spline contraction (32 small MXU matmuls) only runs for tiles with
-    # at least one pair inside the 2 nm LUT range — beyond it Q is exactly 0
+    if save_qd:
+        # every (i, j) block is visited exactly once: default the saved
+        # tiles to the exact out-of-range value (0) so skipped tiles stay
+        # correct for the descreening pass that reloads them
+        refs[1][...] = jnp.zeros_like(refs[1])
+        refs[2][...] = jnp.zeros_like(refs[2])
+
+    # the spline contraction (MXU matmuls) only runs for tiles with at
+    # least one pair inside the 2 nm LUT range — beyond it Q is exactly 0
     # (reference AGBNPUtils.cpp:113-127), so skipped tiles change nothing
     @pl.when(jnp.any(mask))
     def _():
-        q, _ = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
-                            deriv=False)
+        q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
+                             deriv=save_qd)
         out[0, :] = out[0, :] + jnp.sum(q * sj[0][None, :], axis=1)
+        if save_qd:
+            refs[1][...] = q
+            refs[2][...] = dq
 
 
 def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
-              box=None, interpret=False, horizon=None):
+              box=None, interpret=False, horizon=None, save_qd=False):
     """raw_i = sum_j s_j Q4(d_ij) with the screener (column) axis packed to
     heavy atoms only: hydrogens never screen (zero self-volume and screener
     type -1, reference AGBNPUtils.cpp:168-171), so their columns are
@@ -235,6 +246,11 @@ def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
     rowY [NP, Tj*2*NA]; cols_oh_h [NHP, Tj]; s_hpad [NHP].
     Mirrors inverseBornRadii (reference AGBNPBornRadii.cl:181-490;
     CPU loop ReferenceAGBNPKernels.cpp:437-454).
+
+    With save_qd, also returns the masked (Q [NP, NHP], dQ [NP, NHP])
+    tiles so the descreening sweep can reload them instead of re-running
+    the spline contraction — the Pallas analogue of the XLA path's shared
+    geom dict (ops/born.py::born_radii keeping Q/dQ for the sweep).
     """
     npad = pos_pad.shape[1]
     nhpad = pos_hpad.shape[1]
@@ -243,11 +259,17 @@ def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
     dt = pos_pad.dtype
     row = lambda i, j: (0, i)
     col = lambda i, j: (0, j)
+    out_specs = [pl.BlockSpec((1, tile), row)]
+    out_shape = [jax.ShapeDtypeStruct((1, npad), dt)]
+    if save_qd:
+        out_specs += [pl.BlockSpec((tile, tile), lambda i, j: (i, j))] * 2
+        out_shape += [jax.ShapeDtypeStruct((npad, nhpad), dt)] * 2
     out = pl.pallas_call(
         functools.partial(_born_kernel, ntj=ntj, n=n,
                           box=None if box is None else tuple(box),
                           horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
-                                   else min(horizon, AGBNP_I4LOOKUP_MAXA))),
+                                   else min(horizon, AGBNP_I4LOOKUP_MAXA)),
+                          save_qd=save_qd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row),
@@ -259,12 +281,14 @@ def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
             pl.BlockSpec((tile, ntj), lambda i, j: (j, 0)),
             pl.BlockSpec((1, tile), col),
         ],
-        out_specs=pl.BlockSpec((1, tile), row),
-        out_shape=jax.ShapeDtypeStruct((1, npad), dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
       pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
       rowY, cols_oh_h, s_hpad[None, :])
+    if save_qd:
+        return out[0][0], out[1], out[2]
     return out[0]
 
 
@@ -472,9 +496,54 @@ def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj,
         fcz[sl] += -jnp.sum(c * dz, axis=0)
 
 
+def _descreen_qd_kernel(pxr, pyr, pzr, pxc, pyc, pzc, qt, dqt, sj,
+                        brwr, brur, fx, fy, fz, wcol, ucol, fcx, fcy, fcz,
+                        *, box):
+    """Descreening sweep reloading the Born pass's saved (Q, dQ) tiles:
+    no spline contraction, just geometry + the masked-by-construction
+    weights (Q = dQ = 0 outside the horizon / for invalid pairs)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tj_ = pxc.shape[1]
+    dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+    d = jnp.sqrt(d2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        for ref in (wcol, ucol, fcx, fcy, fcz):
+            ref[...] = jnp.zeros_like(ref)
+
+    @pl.when(j == 0)
+    def _():
+        fx[0, :] = jnp.zeros_like(fx[0, :])
+        fy[0, :] = jnp.zeros_like(fy[0, :])
+        fz[0, :] = jnp.zeros_like(fz[0, :])
+
+    q = qt[...]
+    dq = dqt[...]
+
+    @pl.when(jnp.any(q != 0.0) | jnp.any(dq != 0.0))
+    def _():
+        sl = (0, pl.dslice(j * tj_, tj_))
+        wcol[sl] += jnp.sum(brwr[0][:, None] * q, axis=0)
+        ucol[sl] += jnp.sum(brur[0][:, None] * q, axis=0)
+        dt = dx.dtype
+        # dq is exactly 0 for every masked pair, so only a 0-distance
+        # guard is needed (a padded column can sit at the origin)
+        c = ((brwr[0] + brur[0])[:, None] * sj[0][None, :] * dq
+             * jnp.where(d > 0.0, 1.0 / jnp.where(d > 0.0, d, 1.0),
+                         0.0).astype(dt))
+        fx[0, :] += jnp.sum(c * dx, axis=1)
+        fy[0, :] += jnp.sum(c * dy, axis=1)
+        fz[0, :] += jnp.sum(c * dz, axis=1)
+        fcx[sl] += -jnp.sum(c * dx, axis=0)
+        fcy[sl] += -jnp.sum(c * dy, axis=0)
+        fcz[sl] += -jnp.sum(c * dz, axis=0)
+
+
 def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
                 brw_pad, bru_pad, n, tile, box=None, interpret=False,
-                horizon=None):
+                horizon=None, qd=None):
     """Descreening derivative sweep (reference
     ReferenceAGBNPKernels.cpp:555-586, VdWGBDerBorn
     AGBNPBornRadii.cl:872-1280) with heavy-packed screener columns.
@@ -484,6 +553,9 @@ def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
     back to atom order with hids_pad.  Row reductions accumulate in-block
     across the j-minor grid; column reductions accumulate into full-width
     [1, NHP] VMEM-resident blocks (constant index map).
+
+    With qd=(Q, dQ) from born_sums(save_qd=True), the spline contraction
+    is skipped entirely and the saved tiles are reloaded.
     """
     npad = pos_pad.shape[1]
     nhpad = pos_hpad.shape[1]
@@ -495,26 +567,36 @@ def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
     full = lambda i, j: (0, 0)
     rowshp = jax.ShapeDtypeStruct((1, npad), dt)
     colshp = jax.ShapeDtypeStruct((1, nhpad), dt)
+    if qd is not None:
+        kern = functools.partial(
+            _descreen_qd_kernel, box=None if box is None else tuple(box))
+        mid_specs = [pl.BlockSpec((tile, tile), lambda i, j: (i, j))] * 2
+        mid_args = (qd[0], qd[1])
+    else:
+        kern = functools.partial(
+            _descreen_kernel, ntj=ntj, n=n,
+            box=None if box is None else tuple(box),
+            horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
+                     else min(horizon, AGBNP_I4LOOKUP_MAXA)))
+        mid_specs = [pl.BlockSpec((1, tile), col),
+                     pl.BlockSpec((tile, rowY.shape[1]), lambda i, j: (i, 0)),
+                     pl.BlockSpec((tile, ntj), lambda i, j: (j, 0))]
+        mid_args = (hids_pad[None, :], rowY, cols_oh_h)
     fx, fy, fz, w, u, fcx, fcy, fcz = pl.pallas_call(
-        functools.partial(_descreen_kernel, ntj=ntj, n=n,
-                          box=None if box is None else tuple(box),
-                          horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
-                                   else min(horizon, AGBNP_I4LOOKUP_MAXA))),
+        kern,
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile), row)] * 3
         + [pl.BlockSpec((1, tile), col)] * 3
+        + mid_specs
         + [pl.BlockSpec((1, tile), col),
-           pl.BlockSpec((tile, rowY.shape[1]), lambda i, j: (i, 0)),
-           pl.BlockSpec((tile, ntj), lambda i, j: (j, 0)),
-           pl.BlockSpec((1, tile), col),
            pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row)],
         out_specs=[pl.BlockSpec((1, tile), row)] * 3
         + [pl.BlockSpec((1, nhpad), full)] * 5,
         out_shape=[rowshp] * 3 + [colshp] * 5,
         interpret=interpret,
     )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
-      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
-      rowY, cols_oh_h, s_hpad[None, :], brw_pad[None, :], bru_pad[None, :])
+      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], *mid_args,
+      s_hpad[None, :], brw_pad[None, :], bru_pad[None, :])
     force_rows = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
     force_cols = jnp.stack([fcx[0], fcy[0], fcz[0]], axis=1)
     return w[0], u[0], force_rows, force_cols
