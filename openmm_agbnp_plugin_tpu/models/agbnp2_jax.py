@@ -211,6 +211,10 @@ class AGBNP2Model:
         self.params = params
         self.dtype = dtype
         self.cutoff = cutoff
+        # shared-interface attributes Simulation reads off `self.agbnp`
+        # regardless of version (ff_state's fuse test, force dispatch)
+        self.version = 2
+        self.pair_kernel = False
         self.arrays = prepare_arrays(params, dtype=dtype)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
         heavy = np.asarray(params.ishydrogen) == 0

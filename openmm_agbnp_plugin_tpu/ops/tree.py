@@ -192,11 +192,21 @@ def _cand_dat(s_gv, s_ga, s_gc, s_gamma, a):
     a_gc = a[..., 2:5]
     dist = a_gc - s_gc
     d2 = jnp.sum(dist * dist, axis=-1)
+    # Degenerate (zero-padded) rows — both-side zeros in the build's
+    # sibling windows, or an EMPTY level's row 0 that a rescan gathers as
+    # every invalid node's parent — would produce df = 0*inf = NaN and
+    # (PI/df)^1.5 = inf.  The primal masks them downstream, but jax.grad
+    # multiplies their NaN/inf partials by zero cotangents (NaN again),
+    # poisoning the whole position gradient (observed: AGBNP2 autodiff
+    # forces on trees with empty deep levels).  Guard every division so
+    # both the primal AND its linearization stay finite on junk rows.
     a12 = s_ga + a_ga
-    deltai = 1.0 / a12
+    ok = (s_ga > 0.0) & (a_ga > 0.0)
+    deltai = 1.0 / jnp.where(a12 > 0.0, a12, 1.0)
     df = s_ga * a_ga * deltai
     ef = jnp.exp(-df * d2)
-    gvol = (s_gv * a_gv / (PI / df) ** 1.5) * ef
+    df_safe = jnp.where(ok, df, 1.0)
+    gvol = jnp.where(ok, (s_gv * a_gv * (df_safe / PI) ** 1.5) * ef, 0.0)
     dgvol = -2.0 * df * gvol
     dgvolv = jnp.where(s_gv > 0, gvol / jnp.where(s_gv > 0, s_gv, 1.0), 0.0)
     gc12 = (s_gc * s_ga[..., None] + a_gc * a_ga[..., None]) * deltai[..., None]
@@ -568,6 +578,10 @@ def rescan_volumes(levels, level1, comm: TreeComm | None = None):
         g0, g1, gc0, gg = cols
         dat, _ = _cand_dat(sp[:, g0], sp[:, g1], sp[:, gc0:gc0 + 3],
                            sp[:, gg], level1["_at"][lvl["atom"]])
+        # zero invalid rows like the build's _compact: junk would otherwise
+        # compound down the parent chain (and poison jax.grad through the
+        # masked-but-NaN-partial trap)
+        dat = dat * lvl["valid"][:, None].astype(dat.dtype)
         nl = _level_views(dat, lvl["_ints"], lvl["valid"])
         if "bnd" in lvl:
             nl["bnd"] = lvl["bnd"]
@@ -764,6 +778,10 @@ def rescan_volumes2(levels, level1_a, level1_b,
     then vdW radii, ReferenceAGBNPKernels.cpp:293-384); fusing both into one
     sweep halves the gather/launch count: each level does ONE gather of the
     packed [cap, 2*_D] parent matrix and one of the [N, 12] atomic matrix.
+
+    NOTE: invalid rows carry finite junk (every consumer masks by
+    validity) — fine for the analytic force path this feeds; for
+    jax.grad-through paths use rescan_volumes, which zeroes them.
 
     Returns (levels_a, levels_b).
     """
