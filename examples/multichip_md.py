@@ -27,10 +27,26 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count={N_DEVICES}").strip()
 
+def _accelerators(timeout=120.0):
+    """Count accelerator devices in a SUBPROCESS with a hard timeout — a
+    dead remote-TPU service can hang jax.devices() indefinitely."""
+    import subprocess
+
+    probe = ("import jax; d = jax.devices(); "
+             "print(sum(x.platform != 'cpu' for x in d))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], timeout=timeout,
+                           capture_output=True, text=True)
+        return int(r.stdout.strip() or 0) if r.returncode == 0 else 0
+    except (subprocess.TimeoutExpired, ValueError):
+        return 0
+
+
 import jax
 
-if len(jax.devices()) < N_DEVICES:
+if _accelerators() < N_DEVICES:
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)  # f64 on the CPU mesh
 
 import numpy as np
 
@@ -50,8 +66,13 @@ def main():
     mesh = atom_mesh(N_DEVICES)
     print(f"devices: {len(mesh.devices.ravel())} x "
           f"{mesh.devices.ravel()[0].platform}")
+    # a window length that divides nsteps keeps this to ONE compiled
+    # executable (a remainder window would compile a second one)
+    ne = 10 if nsteps % 10 == 0 else (nsteps if nsteps <= 10 else
+                                      next(w for w in range(10, 0, -1)
+                                           if nsteps % w == 0))
     run = sim.make_langevin_runner(dt=0.001, temperature=300.0,
-                                   neighbor_every=10, mesh=mesh)
+                                   neighbor_every=ne, mesh=mesh)
     key = jax.random.PRNGKey(0)
     pos, vel, key, energies, (counts, nbmax, sibs) = run(
         sim.positions, sim.velocities, key, nsteps)
