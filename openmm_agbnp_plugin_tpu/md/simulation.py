@@ -368,14 +368,10 @@ class Simulation:
                     lvl1 = _T.make_level1(pos, a["radii_large"],
                                           a["vol_large"], gdr,
                                           a["ishydrogen"])
-                    # the sharded reduce passes can't use the single-chip
-                    # rank kernels (metadata isn't row-aligned), so skip
-                    # building their metadata under a mesh
                     levels, bdiag = _T.build_tree(lvl1, pi, pj, caps,
                                                   pairs_valid=pv,
                                                   relax=topology_relax,
-                                                  pair_rows=True,
-                                                  rank_info=mesh is None)
+                                                  pair_rows=True)
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
                     sib_max = bdiag["max_siblings"]

@@ -128,11 +128,8 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     # atomic cavity passes
     lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
                                gamma_dr, a["ishydrogen"])
-    # rank_info=False: v2 forces are jax.grad through this energy, and the
-    # Pallas rank kernels define no autodiff rules
     levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"], caps,
-                                pairs_valid=a["pairs_valid"],
-                                rank_info=False)
+                                pairs_valid=a["pairs_valid"])
     red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=True)
     lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
                              -gamma_dr, a["ishydrogen"])
@@ -155,8 +152,7 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     mpi, mpj, mpv, m_nbmax = half_neighbor_pairs(ms["pos"], ms["valid"],
                                                  tree_pair_cutoff([radw]),
                                                  ms_kmax)
-    mlevels, mdiag = T.build_tree(lvl1_ms, mpi, mpj, caps_ms, pairs_valid=mpv,
-                                  rank_info=False)
+    mlevels, mdiag = T.build_tree(lvl1_ms, mpi, mpj, caps_ms, pairs_valid=mpv)
     # MS-capacity overflow channels (count vs cap_ms truncation, MS-tree
     # neighbor list) ride the diagnostics for the MD PanicButton
     mdiag = {**mdiag, "ms_count": ms["count"], "ms_nbmax": m_nbmax}

@@ -51,25 +51,13 @@ from .gaussians import atomic_gaussian_exponent, ogauss, survives
 # Levels 2..MAX_ORDER are stored; index l in tuples below is level l+2.
 NUM_TREE_LEVELS = MAX_ORDER - 1  # 7
 
-# Rank-space upward-reduction backend (ops/pallas/ranksum.py): replaces the
-# XLA sorted-scatter segment-sums of the bottom-up reduction with MXU
-# one-hot window kernels.  "auto" = on for f32 trees when the default
-# backend is TPU; "on"/"interpret" force it (interpret runs the kernels in
-# Pallas interpret mode for CPU parity tests); "off" disables.
-# Default OFF until an on-hardware A/B lands: the kernels are
-# interpret-mode-validated but their Mosaic compilation and speedup have
-# not yet been measured on the real chip (the TPU service was down).
-import os as _os
-
-RANKSUM_MODE = _os.environ.get("AGBNP_RANKSUM", "off")
-
-
-def _ranksum_active() -> bool:
-    if RANKSUM_MODE == "off":
-        return False
-    if RANKSUM_MODE == "auto":
-        return jax.default_backend() == "tpu"
-    return True
+# Segment-reduction backend note: a rank-space MXU kernel family (one-hot
+# window matmuls over the sorted parent ids) was built and A/B-measured on
+# the real chip against the XLA sorted-scatter segment-sums used below; the
+# scatters won (1li2 WU pass 2.39 ms vs 2.87 ms, cavity pass 1.55 ms vs
+# 4.93 ms; at 2clr scale the kernels exceeded the 16 MB VMEM scoped limit).
+# The kernels were therefore removed; the sorted-scatter path (pmono +
+# indices_are_sorted) is the production reduction.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -394,7 +382,7 @@ def _max_siblings(level, parent_cap):
 
 
 def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
-               relax=None, pair_rows: bool = False, rank_info: bool = True):
+               relax=None, pair_rows: bool = False):
     """Builds all overlap levels 2..MAX_ORDER.
 
     pairs_i/pairs_j: candidate 2-body pairs (i < j), i-major order — from an
@@ -431,11 +419,6 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
         counts.append(count)
         sib_max.append(msib)
 
-    # both compaction paths emit parent-sorted levels with bnd boundaries,
-    # so the rank info can attach regardless of the level-2 layout
-    if rank_info and _ranksum_active():
-        _attach_rank_info(levels)
-
     diag = dict(
         counts=jnp.stack(counts),
         caps=jnp.array(caps.caps),
@@ -458,53 +441,15 @@ def check_overflow(diag) -> dict:
                 any=bool(cap_overflow.any() or sib_overflow.any()))
 
 
-def _attach_rank_info(levels):
-    """Precompute, at build time, the rank-space reduction/gather arrays
-    (ops/pallas/ranksum.py::upward_info/gather_info) for every level's
-    segment boundaries.  They ride inside lvl["bnd"]["rank"] through
-    tree_topology/rescan_volumes, so every fixed-topology pass of the MD
-    loop reuses them without recomputation."""
-    from .pallas import ranksum
-
-    for lvl in levels:
-        bnd = lvl["bnd"]
-        cap = lvl["valid"].shape[0]
-        parent_space = bnd["nonempty"].shape[0]
-        kcap = (-(-min(cap, parent_space) // ranksum.G) * ranksum.G
-                + ranksum.G)
-        bnd["rank"] = {**ranksum.upward_info(bnd["pmono"], bnd["nonempty"]),
-                       **ranksum.gather_info(bnd["pmono"], kcap)}
-
-
 def _parent_gather(x, lvl):
     """Gather parent rows x[parent] for a level.  With build boundaries the
     monotone segment-id vector (pmono) replaces the raw parent indices —
     identical rows for every valid slot, but monotone over the invalid tail
     too, so XLA's sorted-gather lowering applies.  Invalid slots read the
     last valid parent instead of row 0; their output is junk either way and
-    every consumer masks by validity.
-
-    With rank info attached, the monotone gather factors into a
-    kcap-row compaction (distinct parents only) plus the windowed one-hot
-    MXU expansion of ops/pallas/ranksum.py::rank_gather — fewer
-    row-serial gather rows when parents average >1 child."""
+    every consumer masks by validity."""
     bnd = lvl.get("bnd")
     if bnd is not None:
-        rk = bnd.get("rank")
-        if (rk is not None and "nz_idx" in rk and _ranksum_active()
-                and x.dtype == jnp.float32):
-            from .pallas import ranksum
-
-            kcap = rk["nz_idx"].shape[0]
-            nch = x.shape[1]
-            nchp = 8 if nch <= 8 else (16 if nch <= 16 else 32)
-            if nch <= 32 and ranksum.supports_gather(kcap, nchp):
-                xp = (x if nchp == nch
-                      else jnp.pad(x, ((0, 0), (0, nchp - nch))))
-                out = ranksum.rank_gather(
-                    xp, rk, lvl["valid"].shape[0],
-                    interpret=(RANKSUM_MODE == "interpret"))
-                return out[:, :nch]
         return x.at[bnd["pmono"]].get(indices_are_sorted=True)
     return x[lvl["parent"]]
 
@@ -517,26 +462,10 @@ def _upward_segment_sum(x, lvl, num_parents):
     (indices_are_sorted), which is markedly cheaper than the unsorted
     scatter at large parent counts.  (A segmented associative-scan variant
     was measured at 2x the sorted scatter's cost on this runtime — see
-    benchmarks/micro_segsum.py — so scatter it is.)  Invalid tail rows
-    carry zero data, so their carried-forward segment ids are harmless.
-
-    When build-time rank info is attached (_attach_rank_info) and the
-    static shapes qualify, the MXU rank-window kernels of
-    ops/pallas/ranksum.py replace the scatter at about half its per-row
-    cost (measured in benchmarks/micro_rank_kernels.py)."""
-    bnd = lvl.get("bnd")
-    if bnd is not None and "rank" in bnd and x.dtype == jnp.float32:
-        from .pallas import ranksum
-
-        # static rank-count bound: distinct sorted segments cannot exceed
-        # the row count or the parent space; +G covers the invalid-tail
-        # rank carried past the last segment
-        kcap = (-(-min(x.shape[0], num_parents) // ranksum.G) * ranksum.G
-                + ranksum.G)
-        if _ranksum_active() and ranksum.supports(kcap, x.shape[1]):
-            return ranksum.upward_sum(
-                x, bnd["rank"], num_parents, kcap,
-                interpret=(RANKSUM_MODE == "interpret"))
+    benchmarks/micro_segsum.py — so scatter it is.  An MXU rank-window
+    one-hot alternative was also measured and lost; see the backend note
+    at the top of this module.)  Invalid tail rows carry zero data, so
+    their carried-forward segment ids are harmless."""
     if "bnd" in lvl:
         return jax.ops.segment_sum(x, lvl["bnd"]["pmono"],
                                    num_segments=num_parents,
@@ -613,22 +542,7 @@ def rescan_gammas(levels, level1, comm: TreeComm | None = None):
 
 
 def _deposit_sum(dep, atoms, natoms, lvl0):
-    """The all-levels atom-deposit scatter of the bottom-up reduction.
-
-    With rank info attached (the tree opted into the MXU kernels) the
-    unsorted per-row XLA scatter is replaced by the one-hot MXU
-    accumulation of ops/pallas/ranksum.py::atom_scatter_sum — the
-    [natoms, C] accumulator lives in VMEM across the whole sweep."""
-    bnd = lvl0.get("bnd")
-    if (bnd is not None and "rank" in bnd and _ranksum_active()
-            and dep.dtype == jnp.float32):
-        from .pallas import ranksum
-
-        npad = -(-natoms // ranksum.G) * ranksum.G
-        if ranksum.supports_atomsum(npad, dep.shape[1]):
-            return ranksum.atom_scatter_sum(
-                dep, atoms, natoms,
-                interpret=(RANKSUM_MODE == "interpret"))
+    """The all-levels atom-deposit scatter of the bottom-up reduction."""
     return jax.ops.segment_sum(dep, atoms, num_segments=natoms)
 
 

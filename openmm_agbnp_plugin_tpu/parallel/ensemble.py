@@ -96,11 +96,8 @@ class ReplicaEnsemble:
             pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
             lvl1 = _T.make_level1(pos, a["radii_large"], a["vol_large"],
                                   a["gamma"] / roffset, a["ishydrogen"])
-            # rank_info=False: the replica axis is vmapped, and the Pallas
-            # rank-reduction kernels are not validated under vmap batching
             levels, bdiag = _T.build_tree(lvl1, pi, pj, sim.agbnp.caps,
-                                          pairs_valid=pv, pair_rows=True,
-                                          rank_info=False)
+                                          pairs_valid=pv, pair_rows=True)
             topo = _T.tree_topology(levels)
             inner = langevin_middle_step(
                 sim.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff),
