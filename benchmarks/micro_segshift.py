@@ -236,7 +236,7 @@ def main():
     def mk_down(chain):
         def fn(pv):
             outs = chain(pv)
-            return pv + outs[-1][:pv.shape[0]] * 1e-30
+            return pv + outs[-1][0, 0] * 1e-30
         return fn
 
     t_a = scan_time(mk_down(chain_down_gather), pv0, reps)
@@ -263,3 +263,54 @@ def main():
 
 if __name__ == "__main__":
     main()
+# appended: transposed-layout probes (invoked when argv[3] == "T")
+def transposed_probe(system="1li2_agbnp1", reps=20):
+    here = os.path.dirname(os.path.abspath(__file__))
+    dms = load_dms(os.path.join(here, "data", f"{system}.dms"))
+    dtype = np.float32
+    cap = 26112
+    key = jax.random.PRNGKey(0)
+    x_rm = jax.random.normal(key, (cap, 8), dtype)   # row-major
+    x_tm = jnp.asarray(x_rm.T)                        # [8, cap]
+    mask = jnp.asarray(np.random.default_rng(0).random(cap) < 0.8)
+
+    def passes_rm(x):
+        for j in range(6):
+            s = 1 << j
+            sh = jnp.concatenate([x[s:], jnp.zeros((s, 8), dtype)])
+            x = x + jnp.where(mask[:, None], sh, 0.0)
+        return x
+
+    def passes_tm(x):
+        for j in range(6):
+            s = 1 << j
+            sh = jnp.concatenate([x[:, s:], jnp.zeros((8, s), dtype)], axis=1)
+            x = x + jnp.where(mask[None, :], sh, 0.0)
+        return x
+
+    t_rm = scan_time(passes_rm, x_rm, reps)
+    t_tm = scan_time(passes_tm, x_tm, reps)
+    # transpose round-trip cost
+    t_tr = scan_time(lambda x: (x.T).T + 0.0, x_rm, reps)
+    print(f"6 shifted-add passes [26112 rows, 8ch]: row-major {t_rm:.3f} ms"
+          f"  transposed {t_tm:.3f} ms  (transpose rt {t_tr:.3f} ms)")
+
+    # reference: what do the indexed ops cost at this shape?
+    idx = jnp.asarray(np.sort(np.random.default_rng(0).integers(0, cap, cap)),
+                      jnp.int32)
+    t_g = scan_time(lambda x: x.at[idx].get(indices_are_sorted=True) + x * 0,
+                    x_rm, reps)
+    seg = jnp.asarray(np.sort(np.random.default_rng(1).integers(0, cap // 3,
+                                                                cap)),
+                      jnp.int32)
+    t_s = scan_time(
+        lambda x: jnp.pad(jax.ops.segment_sum(x, seg, num_segments=cap // 3,
+                                              indices_are_sorted=True),
+                          ((0, cap - cap // 3), (0, 0))) + x * 0,
+        x_rm, reps)
+    print(f"indexed at same shape: sorted gather {t_g:.3f} ms  "
+          f"sorted segsum {t_s:.3f} ms")
+
+
+if __name__ == "__main__" and len(sys.argv) > 3 and sys.argv[3] == "T":
+    transposed_probe(sys.argv[1], int(sys.argv[2]))
