@@ -28,7 +28,8 @@ CUTOFFS = {"trpcage_agbnp1": None, "1li2_agbnp1": 1.0, "1dwc_agbnp1": 1.0,
            "2clr_agbnp1": 1.0, "rnaseh_agbnp1": 1.0}
 
 
-def run_one(name, steps, dtype, out_dms=None, descreen_horizon=None):
+def run_one(name, steps, dtype, out_dms=None, descreen_horizon=None,
+            mts_inner=0, dt=0.001, constraints=False):
     import numpy as np
 
     from openmm_agbnp_plugin_tpu.io.dms import load_dms, save_dms
@@ -38,10 +39,16 @@ def run_one(name, steps, dtype, out_dms=None, descreen_horizon=None):
     path = os.path.join(here, "data", f"{name}.dms")
     dms = load_dms(path)
     sim = Simulation(dms, version=1, cutoff=CUTOFFS.get(name), dtype=dtype,
-                     skin=0.25, descreen_horizon=descreen_horizon)
-    res = sim.benchmark_langevin(nsteps=steps, dt=0.001, temperature=300.0,
-                                 friction=1.0, neighbor_every=40)
+                     skin=0.25, descreen_horizon=descreen_horizon,
+                     constraints=constraints)
+    # neighbor windows cover ~40 fs of drift regardless of the step size
+    ne = max(1, int(round(40 * 0.001 / dt)))
+    res = sim.benchmark_langevin(nsteps=steps, dt=dt, temperature=300.0,
+                                 friction=1.0, neighbor_every=ne,
+                                 mts_inner=mts_inner)
     print(json.dumps(dict(system=name, natoms=dms.n, steps=steps,
+                          dt_fs=dt * 1e3, mts_inner=mts_inner,
+                          constraints=constraints,
                           elapsed_s=round(res["elapsed_s"], 3),
                           steps_per_s=round(res["steps_per_s"], 2),
                           ns_day=round(res["ns_day"], 3),
@@ -62,6 +69,14 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--save", default=None,
                     help="write final state to this .dms path")
+    ap.add_argument("--mts-inner", type=int, default=0,
+                    help="r-RESPA bonded substeps per outer step (0 = "
+                         "plain middle-scheme Langevin)")
+    ap.add_argument("--dt", type=float, default=0.001,
+                    help="outer step in ps (default 1 fs, the reference "
+                         "protocol)")
+    ap.add_argument("--constraints", action="store_true",
+                    help="SHAKE/RATTLE the Desmond X-H constraint tables")
     ap.add_argument("--descreen-horizon", default=None,
                     help='"cutoff" for the reference OpenCL backend\'s '
                          "cutoff-mode semantics, a float (nm), or unset "
@@ -84,7 +99,8 @@ def main():
     for name in systems:
         run_one(name, args.steps, dtype,
                 out_dms=args.save if not args.all else None,
-                descreen_horizon=dh)
+                descreen_horizon=dh, mts_inner=args.mts_inner, dt=args.dt,
+                constraints=args.constraints)
 
 
 if __name__ == "__main__":

@@ -155,6 +155,14 @@ class MMForceField:
             excl_mask=self._excl_mask() if excl_mask is None else excl_mask)
         return e
 
+    def energy_nonbonded(self, pos, a=None, excl_mask=None):
+        """Dense LJ/Coulomb only — the slow RESPA class when the fused GB
+        pair kernel is not carrying it."""
+        a = self.arrays if a is None else a
+        return dense_nonbonded_energy(
+            pos, a["charge"], a["sigma"], a["epsilon"], cutoff=self.cutoff,
+            excl_mask=self._excl_mask() if excl_mask is None else excl_mask)
+
     def _excl_mask(self):
         if not hasattr(self, "_excl_mask_cache"):
             ex = np.asarray(self.arrays["excl_idx"])

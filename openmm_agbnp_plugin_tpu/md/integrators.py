@@ -69,6 +69,110 @@ def langevin_middle_step(force_fn, masses, dt, temp, friction,
     return step
 
 
+def mts_langevin_step(slow_force_fn, fast_force_fn, masses, dt, temp,
+                      friction, inner: int, constraints=None):
+    """Multiple-timestep (r-RESPA) middle-scheme Langevin step.
+
+    The expensive force class (`slow_force_fn`: the full AGBNP implicit
+    solvent + MM nonbonded evaluation) is applied as one impulse per outer
+    step `dt`, while the stiff cheap class (`fast_force_fn`: MM bonded +
+    1-4 terms) integrates at the substep ``delta = dt/inner``:
+
+      v <- v + dt F_slow(x)/m                        [+ RATTLE]
+      repeat `inner` times (middle scheme at delta with F_fast):
+        v <- v + delta F_fast(x)/m                   [+ RATTLE]
+        x <- x + delta/2 v
+        v <- a v + sqrt(1-a^2) sqrt(kT/m) xi         (a = e^{-friction delta})
+        x <- x + delta/2 v                           [+ SHAKE, vel fixup]
+
+    One slow evaluation and `inner` fast evaluations per outer step; with
+    ``inner=1`` this reproduces `langevin_middle_step` with the summed
+    force exactly (same kick at the same x, same noise stream), which the
+    tests use as the regression anchor.  This is the Tuckerman r-RESPA
+    splitting in the kick-at-the-start (middle/VRORV) arrangement OpenMM's
+    MTSLangevinIntegrator uses; the reference plugin has no MTS capability
+    (its protocol is full force evaluation every 1 fs step,
+    reference example/t4lysozyme_benchmark.py:21).
+
+    slow_force_fn(pos) -> (energy, force, counts); fast_force_fn(pos) ->
+    (energy, force).  Returns a scan step over (pos, vel, key) emitting
+    (energy_slow + energy_fast_at_start, counts).
+    """
+    delta = dt / inner
+    a = jnp.exp(-friction * delta)
+    b = jnp.sqrt(1.0 - a * a)
+    inv_m = 1.0 / masses[:, None]
+
+    def step(state, _):
+        pos, vel, key = state
+        e_slow, f_slow, *aux = slow_force_fn(pos)
+        vel = vel + dt * f_slow * inv_m
+        if constraints is not None:
+            vel = constraints.velocities(pos, vel)
+        e_fast0 = None
+
+        for i in range(inner):
+            e_fast, f_fast = fast_force_fn(pos)
+            e_fast0 = e_fast if e_fast0 is None else e_fast0
+            vel = vel + delta * f_fast * inv_m
+            if constraints is not None:
+                vel = constraints.velocities(pos, vel)
+            pos0 = pos
+            pos = pos + 0.5 * delta * vel
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
+            sigma = jnp.sqrt(KB * temp * inv_m)
+            vel = a * vel + b * sigma * noise
+            pos = pos + 0.5 * delta * vel
+            if constraints is not None:
+                posc = constraints.positions(pos, pos0)
+                vel = vel + (posc - pos) / delta
+                pos = posc
+        return (pos, vel, key), (e_slow + e_fast0, *aux)
+
+    return step
+
+
+def mts_verlet_step(slow_force_fn, fast_force_fn, masses, dt, inner: int,
+                    constraints=None):
+    """Symmetric r-RESPA velocity Verlet (NVE): half slow kick, `inner`
+    velocity-Verlet substeps with the fast force, half slow kick.  Used by
+    the energy-drift validation of the MTS splitting (the NVE analogue of
+    the reference's install-test Verlet drift check,
+    reference example/test_agbnp.py:58-64).
+
+    State: (pos, vel, f_slow, f_fast).  Returns (state, (pe, ke, counts))
+    with pe evaluated at the step's final positions.
+    """
+    inv_m = 1.0 / masses[:, None]
+
+    def step(state, _):
+        pos, vel, f_slow, f_fast = state
+        vel = vel + 0.5 * dt * f_slow * inv_m
+        if constraints is not None:
+            vel = constraints.velocities(pos, vel)
+        delta = dt / inner
+        e_fast = None
+        for i in range(inner):
+            vel_half = vel + 0.5 * delta * f_fast * inv_m
+            new_pos = pos + delta * vel_half
+            if constraints is not None:
+                posc = constraints.positions(new_pos, pos)
+                vel_half = vel_half + (posc - new_pos) / delta
+                new_pos = posc
+            pos = new_pos
+            e_fast, f_fast = fast_force_fn(pos)
+            vel = vel_half + 0.5 * delta * f_fast * inv_m
+        e_slow, f_slow, *aux = slow_force_fn(pos)
+        vel = vel + 0.5 * dt * f_slow * inv_m
+        if constraints is not None:
+            vel = constraints.velocities(pos, vel)
+        ke = kinetic_energy(vel, masses)
+        return (pos, vel, f_slow, f_fast), (e_slow + e_fast, ke, *aux)
+
+    return step
+
+
 def velocity_verlet_step(force_fn, masses, dt, constraints=None):
     """Velocity Verlet; carries the force to avoid re-evaluation.
 

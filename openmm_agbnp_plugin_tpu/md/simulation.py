@@ -182,7 +182,8 @@ class Simulation:
             self._sharded_fn_mesh = mesh
         return self._sharded_fn
 
-    def force_fn(self, pairs=None, topology=None, ff=None, mesh=None):
+    def force_fn(self, pairs=None, topology=None, ff=None, mesh=None,
+                 split: bool = False):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
@@ -196,12 +197,21 @@ class Simulation:
         shard_map (multi-chip single-system MD); requires a topology and
         version 1.  MM terms and the integrator stay replicated.
 
+        With split, returns (slow_fn, fast_fn) for the MTS (r-RESPA)
+        integrators instead: slow_fn(pos) -> (e, f, counts) is the AGBNP
+        implicit solvent + MM dense LJ/Coulomb class, fast_fn(pos) ->
+        (e, f) is the stiff bonded + 1-4 class.
+
         ff: optional ff_state() pytree (may be traced); without it the
         stored host arrays are used (and become graph constants)."""
         from .vsites import project_positions, spread_forces
 
         if self.agbnp2 is not None:
+            if split:
+                raise ValueError("MTS supports AGBNP versions 0/1")
             return self._force_fn_v2()
+        if split and self.mm is None:
+            raise ValueError("MTS needs an MM force field (the fast class)")
 
         if mesh is not None and (topology is None or self.agbnp.version != 1):
             raise ValueError("mesh-sharded force requires version 1 and a "
@@ -230,6 +240,35 @@ class Simulation:
             def agbnp_part(pos):
                 return self._agbnp_force(pos, pairs, topology,
                                          mm_nb=mm_nb, a=a)
+
+        if split:
+            def slow_fn(pos):
+                if self.vsites is not None:
+                    pos = project_positions(pos, self.vsites)
+                energy, force, counts = agbnp_part(pos)
+                if not fuse_mm:
+                    # dense LJ/Coulomb is not riding the GB kernel: it still
+                    # belongs to the slow class (RESPA splits by timescale)
+                    e_nb, g_nb = jax.value_and_grad(
+                        partial(self.mm.energy_nonbonded, a=mm_a,
+                                excl_mask=ff["mm_excl_mask"]))(pos)
+                    energy = energy + e_nb
+                    force = force - g_nb
+                if self.vsites is not None:
+                    force = spread_forces(force, self.vsites)
+                return energy, force, counts
+
+            def fast_fn(pos):
+                if self.vsites is not None:
+                    pos = project_positions(pos, self.vsites)
+                e, g = jax.value_and_grad(
+                    partial(self.mm.energy_bonded_and_14, a=mm_a))(pos)
+                force = -g
+                if self.vsites is not None:
+                    force = spread_forces(force, self.vsites)
+                return e, force
+
+            return slow_fn, fast_fn
 
         def fn(pos):
             if self.vsites is not None:
@@ -299,8 +338,20 @@ class Simulation:
     def make_langevin_runner(self, dt=0.001, temperature=300.0, friction=1.0,
                              neighbor_every: int = 10,
                              rebuild_topology: bool = True,
-                             topology_relax=None, mesh=None):
+                             topology_relax=None, mesh=None,
+                             mts_inner: int = 0):
         """Returns run(pos, vel, key, nsteps) — a nested-scan Langevin loop.
+
+        With mts_inner > 0, each step is a multiple-timestep (r-RESPA)
+        outer step of length dt: one full AGBNP + MM-nonbonded evaluation
+        (the slow impulse) plus mts_inner bonded-force substeps at
+        dt/mts_inner (md/integrators.py::mts_langevin_step).  `nsteps`
+        then counts OUTER steps, and simulated time per step is still dt —
+        a production-throughput option beyond the reference's fixed
+        1 fs/full-evaluation protocol.  Combine with constraints=True to
+        run dt = 2 fs outer / 1 fs bonded substeps.  Neighbor/topology
+        rebuild windows also count outer steps, so scale neighbor_every
+        down when raising dt (positions drift dt per outer step).
 
         With mesh (an "atoms"-axis jax.sharding.Mesh), every step's AGBNP
         pair phases and fixed-topology tree passes run sharded over the
@@ -324,6 +375,21 @@ class Simulation:
         heavy = self.heavy_mask
         nbfn = self.neighbor_fn
 
+        from .integrators import mts_langevin_step
+
+        def make_step(ff=None, pairs=None, topology=None):
+            if mts_inner:
+                slow, fast = self.force_fn(pairs=pairs, topology=topology,
+                                           ff=ff, mesh=mesh, split=True)
+                return mts_langevin_step(slow, fast, masses, dt, temperature,
+                                         friction, mts_inner,
+                                         constraints=self.constraints)
+            return langevin_middle_step(
+                self.force_fn(pairs=pairs, topology=topology, ff=ff,
+                              mesh=mesh),
+                masses, dt, temperature, friction,
+                constraints=self.constraints)
+
         if self.agbnp2 is not None:
             neighbor_every = 0  # v2 rebuilds everything per step
 
@@ -335,9 +401,7 @@ class Simulation:
         if neighbor_every <= 0:
             @partial(jax.jit, static_argnames=("nsteps",))
             def run_ff(ff, pos, vel, key, nsteps: int):
-                step = langevin_middle_step(self.force_fn(ff=ff), masses, dt,
-                                            temperature, friction,
-                                            constraints=self.constraints)
+                step = make_step(ff=ff)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     step, (pos, vel, key), length=nsteps)
                 return pos, vel, key, energies, (jnp.max(counts, axis=0),
@@ -375,11 +439,7 @@ class Simulation:
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
                     sib_max = bdiag["max_siblings"]
-                inner = langevin_middle_step(
-                    self.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff,
-                                  mesh=mesh),
-                    masses, dt, temperature, friction,
-                    constraints=self.constraints)
+                inner = make_step(ff=ff, pairs=(pi, pj, pv), topology=topo)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     inner, (pos, vel, key), length=ninner)
                 maxcounts = jnp.max(counts, axis=0)
@@ -436,12 +496,14 @@ class Simulation:
     def benchmark_langevin(self, nsteps=1000, dt=0.001, temperature=300.0,
                            friction=1.0, seed=0, warmup=True,
                            neighbor_every: int = 10,
-                           rebuild_topology: bool = True):
+                           rebuild_topology: bool = True,
+                           mts_inner: int = 0):
         """Timed Langevin MD, reference-benchmark style. Returns dict with
         ns/day and the energy trace."""
         run = self.make_langevin_runner(dt, temperature, friction,
                                         neighbor_every=neighbor_every,
-                                        rebuild_topology=rebuild_topology)
+                                        rebuild_topology=rebuild_topology,
+                                        mts_inner=mts_inner)
         key = jax.random.PRNGKey(seed)
         pos, vel = self.positions, self.velocities
         if warmup:
@@ -563,7 +625,7 @@ class Simulation:
 
     def run_md(self, nsteps, dt=0.001, temperature=300.0, friction=1.0,
                seed=0, neighbor_every: int = 20, segment: int | None = None,
-               max_regrow: int = 8, pos=None, vel=None):
+               max_regrow: int = 8, pos=None, vel=None, mts_inner: int = 0):
         """Langevin MD with automatic PanicButton recovery.
 
         Runs in segments; when a segment overflowed the overlap-tree
@@ -583,7 +645,8 @@ class Simulation:
         assert segment > 0
 
         run = self.make_langevin_runner(dt, temperature, friction,
-                                        neighbor_every=neighbor_every)
+                                        neighbor_every=neighbor_every,
+                                        mts_inner=mts_inner)
         key = jax.random.PRNGKey(seed)
         pos = self.positions if pos is None else pos
         vel = self.velocities if vel is None else vel
@@ -605,7 +668,8 @@ class Simulation:
                 regrows += 1
                 self._regrow(counts, nbmax, sibs)
                 run = self.make_langevin_runner(dt, temperature, friction,
-                                                neighbor_every=neighbor_every)
+                                                neighbor_every=neighbor_every,
+                                                mts_inner=mts_inner)
                 continue  # retry the segment from (pos, vel, key)
             pos, vel, key = new_pos, new_vel, new_key
             energies.append(np.asarray(e))

@@ -159,3 +159,61 @@ def test_run_md_panic_button_regrow():
     np.testing.assert_allclose(np.asarray(out["final_pos"]),
                                np.asarray(ref["final_pos"]), atol=1e-12)
     np.testing.assert_allclose(out["energies"], ref["energies"], atol=1e-9)
+
+
+def test_mts_inner1_matches_plain_langevin(trpcage_sim):
+    """MTS (r-RESPA) with inner=1 applies the same net kick at the same
+    positions with the same noise stream as the plain middle scheme, so the
+    trajectories must agree to accumulation roundoff
+    (md/integrators.py::mts_langevin_step)."""
+    sim = trpcage_sim
+    key = jax.random.PRNGKey(7)
+    run0 = sim.make_langevin_runner(dt=0.001, neighbor_every=5)
+    run1 = sim.make_langevin_runner(dt=0.001, neighbor_every=5, mts_inner=1)
+    p0, v0, _, e0, _ = run0(sim.positions, sim.velocities, key, 10)
+    p1, v1, _, e1, _ = run1(sim.positions, sim.velocities, key, 10)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), atol=1e-7)
+
+
+def test_mts_langevin_stable_2fs(trpcage_sim):
+    """2 fs outer / 1 fs bonded substeps: finite energies, sane
+    temperature, no tree overflow over a short run."""
+    from openmm_agbnp_plugin_tpu.md.integrators import temperature
+
+    sim = trpcage_sim
+    key = jax.random.PRNGKey(1)
+    run = sim.make_langevin_runner(dt=0.002, neighbor_every=5, mts_inner=2)
+    pos, vel, _, e, (counts, nbmax, sibs) = run(
+        sim.positions, sim.velocities, key, 50)
+    assert np.isfinite(np.asarray(e)).all()
+    assert not sim._check_overflow(np.asarray(counts), nbmax, sibs)
+    assert 0.0 < float(temperature(vel, sim.masses)) < 1500.0
+
+
+def test_mts_verlet_energy_conservation(trpcage_sim):
+    """Symmetric r-RESPA Verlet at 1 fs outer / 2 bonded substeps conserves
+    total energy comparably to plain Verlet (the NVE analogue of the
+    reference's install-test drift check, reference
+    example/test_agbnp.py:58-64)."""
+    from functools import partial
+
+    from openmm_agbnp_plugin_tpu.md.integrators import mts_verlet_step
+
+    sim = trpcage_sim
+    slow, fast = sim.force_fn(split=True)
+    step = mts_verlet_step(slow, fast, sim.masses, dt=0.0005, inner=2)
+
+    @partial(jax.jit, static_argnames=("nsteps",))
+    def run(pos, vel, nsteps: int):
+        _, f_slow, _ = slow(pos)
+        _, f_fast = fast(pos)
+        state = (pos, vel, f_slow, f_fast)
+        state, (pe, ke, _) = jax.lax.scan(step, state, length=nsteps)
+        return pe, ke
+
+    pe, ke = run(sim.positions, sim.velocities, 100)
+    tot = np.asarray(pe) + np.asarray(ke)
+    drift = abs(tot[-1] - tot[0])
+    assert np.isfinite(tot).all()
+    assert drift < 0.05 * abs(tot[0]) + 5.0
