@@ -497,27 +497,34 @@ class Simulation:
                            friction=1.0, seed=0, warmup=True,
                            neighbor_every: int = 10,
                            rebuild_topology: bool = True,
-                           mts_inner: int = 0):
+                           mts_inner: int = 0, max_regrow: int = 3):
         """Timed Langevin MD, reference-benchmark style. Returns dict with
-        ns/day and the energy trace."""
-        run = self.make_langevin_runner(dt, temperature, friction,
-                                        neighbor_every=neighbor_every,
-                                        rebuild_topology=rebuild_topology,
-                                        mts_inner=mts_inner)
-        key = jax.random.PRNGKey(seed)
-        pos, vel = self.positions, self.velocities
-        if warmup:
-            # warm with the SAME static nsteps so the timed call reuses the
-            # compiled executable (a different length would recompile)
-            out = run(pos, vel, key, nsteps)
-            np.asarray(out[0]).ravel()[0:1]  # force full sync through the tunnel
-        t0 = time.perf_counter()
-        pos, vel, key, energies, (counts, nbmax, sibs) = run(
-            pos, vel, key, nsteps)
-        counts = np.asarray(counts)  # device sync
-        elapsed = time.perf_counter() - t0
-        ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
-        overflow = self._check_overflow(counts, nbmax, sibs)
+        ns/day and the energy trace.  If a capacity overflow is detected
+        (PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634) the caps
+        are regrown and the whole timed run repeats, up to max_regrow
+        times, so the reported numbers always come from a clean run."""
+        for attempt in range(max_regrow + 1):
+            run = self.make_langevin_runner(dt, temperature, friction,
+                                            neighbor_every=neighbor_every,
+                                            rebuild_topology=rebuild_topology,
+                                            mts_inner=mts_inner)
+            key = jax.random.PRNGKey(seed)
+            pos, vel = self.positions, self.velocities
+            if warmup:
+                # warm with the SAME static nsteps so the timed call reuses
+                # the compiled executable (a different length would recompile)
+                out = run(pos, vel, key, nsteps)
+                np.asarray(out[0]).ravel()[0:1]  # full sync through the tunnel
+            t0 = time.perf_counter()
+            pos, vel, key, energies, (counts, nbmax, sibs) = run(
+                pos, vel, key, nsteps)
+            counts = np.asarray(counts)  # device sync
+            elapsed = time.perf_counter() - t0
+            ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
+            overflow = self._check_overflow(counts, nbmax, sibs)
+            if not overflow or attempt == max_regrow:
+                break
+            self._regrow(counts, nbmax, sibs)
         return dict(ns_day=ns_day, elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
                     final_pos=pos, final_vel=vel, tree_counts_max=counts,
                     neighbor_max=int(nbmax), overflow=overflow,

@@ -68,6 +68,48 @@ def test_constrained_langevin_2fs(trpcage_dms):
     assert _bond_err(sim.constraints, pos) < 1e-7
 
 
+def test_block_solver_matches_jacobi(trpcage_dms):
+    """The star-cluster 3x3 block solver and the global Jacobi iteration
+    project onto the same constraint manifold (both are mass-weighted
+    least-norm corrections, so the converged answers coincide)."""
+    from openmm_agbnp_plugin_tpu.md.constraints import Constraints
+
+    cons = Constraints.from_dms(trpcage_dms, tol=1e-12)
+    assert cons.clusters is not None  # trpcage's tables are a star forest
+    jac = Constraints.from_dms(trpcage_dms, tol=1e-12)
+    jac.clusters = None  # force the fallback path
+
+    pos = jnp.asarray(trpcage_dms.positions, jnp.float64)
+    rng = np.random.default_rng(7)
+    noisy = pos + 0.003 * jnp.asarray(rng.normal(size=pos.shape))
+    xb = cons.positions(noisy, pos)
+    xj = jac.positions(noisy, pos)
+    assert float(jnp.abs(xb - xj).max()) < 1e-9
+
+    vel = jnp.asarray(rng.normal(size=pos.shape))
+    vb = cons.velocities(xb, vel)
+    vj = jac.velocities(xb, vel)
+    assert float(jnp.abs(vb - vj).max()) < 1e-9
+
+
+def test_non_star_tables_fall_back_to_jacobi():
+    """A constraint chain (0-1, 1-2 with atom 1 on both sides) is not a
+    star forest; the solver must fall back to Jacobi and still converge."""
+    from openmm_agbnp_plugin_tpu.md.constraints import Constraints
+
+    idx = np.array([[0, 1], [1, 2]])
+    d = np.array([0.1, 0.1])
+    masses = np.array([12.0, 12.0, 1.0])
+    cons = Constraints(idx, d, masses, tol=1e-10)
+    assert cons.clusters is None
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.11, 0.0, 0.0], [0.11, 0.105, 0.0]],
+                    jnp.float64)
+    ref = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0], [0.1, 0.1, 0.0]],
+                      jnp.float64)
+    fixed = cons.positions(x, ref)
+    assert float(cons.max_violation(fixed)) < 1e-8
+
+
 @pytest.mark.slow
 def test_constrained_verlet_energy(trpcage_dms):
     """SHAKE/RATTLE Verlet conserves energy at 1 fs with constraints on."""
