@@ -29,26 +29,12 @@ PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT", "900"))
 
 
 def _accelerator_alive(timeout: float) -> bool:
-    """Probe the accelerator backend in a SUBPROCESS with a hard timeout.
+    """True if a non-CPU device materializes AND compiles a trivial program
+    within the bound (subprocess probe — a dead axon tunnel can hang
+    jax.devices() indefinitely)."""
+    from openmm_agbnp_plugin_tpu.runtime.devices import probe_accelerators
 
-    The remote-TPU (axon tunnel) service has been observed to hang
-    jax.devices() indefinitely when down; a hung probe must not hang the
-    benchmark, hence the subprocess.  Returns True if a device materializes
-    and compiles a trivial program within the bound.
-    """
-    import subprocess
-
-    probe = ("import jax, jax.numpy as jnp;"
-             "assert jax.devices();"
-             "x = jnp.ones((128, 128));"
-             "(x @ x).block_until_ready();"
-             "print(jax.devices()[0].platform)")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe], timeout=timeout,
-                           capture_output=True, text=True)
-        return r.returncode == 0 and "cpu" not in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    return probe_accelerators(timeout, compile_check=True) > 0
 
 
 def main():

@@ -27,20 +27,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count={N_DEVICES}").strip()
 
-def _accelerators(timeout=120.0):
-    """Count accelerator devices in a SUBPROCESS with a hard timeout — a
-    dead remote-TPU service can hang jax.devices() indefinitely."""
-    import subprocess
-
-    probe = ("import jax; d = jax.devices(); "
-             "print(sum(x.platform != 'cpu' for x in d))")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe], timeout=timeout,
-                           capture_output=True, text=True)
-        return int(r.stdout.strip() or 0) if r.returncode == 0 else 0
-    except (subprocess.TimeoutExpired, ValueError):
-        return 0
-
+from openmm_agbnp_plugin_tpu.runtime.devices import (
+    probe_accelerators as _accelerators)
 
 import jax
 

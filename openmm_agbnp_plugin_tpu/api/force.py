@@ -195,7 +195,7 @@ class Context:
             # solute.  Coordinates wrapped across the periodic boundary
             # would silently break the cavity term, so guard on extent.
             extent = self._positions.max(axis=0) - self._positions.min(axis=0)
-            if (extent > 0.75 * np.diag(self._box)).any():
+            if (extent > 0.75 * self._box).any():
                 import warnings
                 warnings.warn(
                     "solute extent approaches the periodic box; if the "

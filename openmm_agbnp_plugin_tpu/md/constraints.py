@@ -76,6 +76,16 @@ def _solve3(A, rhs):
     co21 = b * g - a * h
     co22 = a * e - b * d
     det = a * co00 + b * co10 + c * co20
+    # Degenerate cluster geometry (collinear X-H bonds after a hard
+    # collision) makes A singular; a sign-preserving determinant floor
+    # keeps lambda finite so the Newton loop converges or hits max_iter
+    # instead of silently exiting on NaN (the while_loop cond evaluates
+    # False on NaN).  Mirrors the Jacobi path's denominator guard.
+    scale = jnp.maximum(jnp.max(jnp.abs(A), axis=(-2, -1)) ** 3,
+                        jnp.asarray(1e-30, A.dtype))
+    floor = 1e-12 * scale
+    det = jnp.where(jnp.abs(det) > floor,
+                    det, jnp.where(det < 0, -floor, floor))
     x0 = co00 * rhs[..., 0] + co01 * rhs[..., 1] + co02 * rhs[..., 2]
     x1 = co10 * rhs[..., 0] + co11 * rhs[..., 1] + co12 * rhs[..., 2]
     x2 = co20 * rhs[..., 0] + co21 * rhs[..., 1] + co22 * rhs[..., 2]

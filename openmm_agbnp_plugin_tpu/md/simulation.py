@@ -157,12 +157,20 @@ class Simulation:
                 fuse_mm = self.agbnp.pair_kernel and self.agbnp.version == 1
             if fuse_mm:
                 # exclusion lists in the pair kernels' Morton-permuted row
-                # space (rows reordered, atom-id values remapped)
-                er = np.asarray(self.mm.excl_rows())
-                rperm = np.asarray(self.agbnp.arrays["rperm"])
-                rinv = np.asarray(self.agbnp.arrays["rinv"])
-                epm = np.where(er >= 0, rinv[np.clip(er, 0, None)], -1)
-                ff["mm_excl_rows_perm"] = epm[rperm].astype(np.int32)
+                # space (rows reordered, atom-id values remapped); static
+                # per model, so cache — run() is re-invoked per MD segment
+                # and per PanicButton retry, and the O(N*E) Python list
+                # build is not free at 6k atoms
+                rperm_now = self.agbnp.arrays["rperm"]
+                cached = getattr(self, "_excl_rows_perm_cache", None)
+                if cached is None or cached[0] is not rperm_now:
+                    er = np.asarray(self.mm.excl_rows())
+                    rperm = np.asarray(rperm_now)
+                    rinv = np.asarray(self.agbnp.arrays["rinv"])
+                    epm = np.where(er >= 0, rinv[np.clip(er, 0, None)], -1)
+                    cached = (rperm_now, epm[rperm].astype(np.int32))
+                    self._excl_rows_perm_cache = cached
+                ff["mm_excl_rows_perm"] = cached[1]
             else:
                 ff["mm_excl_mask"] = self.mm._excl_mask()
         return ff

@@ -289,7 +289,9 @@ def born_sums(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad, n, tile,
       rowY, cols_oh_h, s_hpad[None, :])
     if save_qd:
         return out[0][0], out[1], out[2]
-    return out[0]
+    # out_shape is a list, so pallas_call returns a 1-tuple even without
+    # save_qd; out[0] is the (1, npad) accumulator row, not its contents.
+    return out[0][0]
 
 
 # ---------------------------------------------------------------------------

@@ -235,16 +235,11 @@ def _compact(mask, cand_dat, cand_ints, cap, parent_cap):
     dat = jnp.where(valid[:, None], cand_dat[idx], 0.0)
     ints = jnp.where(valid[:, None], cand_ints[idx], 0)
     lvl = _level_views(dat, ints, valid)
-    # segment boundaries of the packed (parent-sorted) layout, so the
-    # upward reductions use the same scan-based path as _compact_rows
-    cnt = jax.ops.segment_sum(valid.astype(jnp.int32), lvl["parent"],
-                              num_segments=parent_cap)
-    ends = jnp.cumsum(cnt)
-    marks = jnp.zeros(cap, jnp.int32).at[ends - cnt].add(1, mode="drop")
-    lvl["bnd"] = dict(start=marks > 0, ends=jnp.maximum(ends - 1, 0),
-                      nonempty=cnt > 0,
-                      pmono=jax.lax.cummax(
-                          jnp.where(valid, lvl["parent"], 0)))
+    # monotone segment-id vector of the packed (parent-sorted) layout, so
+    # the upward reductions use the same sorted-scatter path as
+    # _compact_rows (only pmono is consumed downstream)
+    lvl["bnd"] = dict(pmono=jax.lax.cummax(
+        jnp.where(valid, lvl["parent"], 0)))
     return lvl, count
 
 
@@ -283,10 +278,9 @@ def _compact_rows(key, mask, cap):
 
     Returns (row_of_slot, off_of_slot, valid, count, cnt, bnd) where off is
     the within-row candidate offset, so the flat candidate index is
-    row * width + off.  bnd carries the per-parent segment boundaries of the
-    packed layout (start flags, last-slot index, nonempty mask) — free
-    byproducts of the compaction that _sorted_segment_sum consumes for the
-    scan-based upward reductions.
+    row * width + off.  bnd carries pmono, the monotone per-parent segment-id
+    vector of the packed layout — a free byproduct of the compaction that
+    the sorted-scatter upward reductions consume.
     """
     rows, width = key.shape
     iw = jnp.arange(width, dtype=jnp.int32)
@@ -309,8 +303,7 @@ def _compact_rows(key, mask, cap):
     # row is monotone nondecreasing over ALL slots (including the invalid
     # tail), so it doubles as the sorted segment-id vector for the upward
     # reductions (invalid rows carry zero data)
-    bnd = dict(start=marks > 0, ends=jnp.maximum(ends - 1, 0),
-               nonempty=cnt > 0, pmono=row)
+    bnd = dict(pmono=row)
     return row, off, valid, count, cnt, bnd
 
 

@@ -206,8 +206,18 @@ def test_bf16_split_tables_bit_exact(gaussvol_system):
                            jnp.asarray(hids), jnp.asarray(rowY_pad),
                            jnp.asarray(coh), jnp.asarray(s), n, tile,
                            interpret=True)
+        # regression: list-form out_shape makes pallas_call return a
+        # 1-tuple; born_sums must still unwrap to the documented [npad] row
+        assert raw.shape == (npad,)
         outs.append(np.asarray(raw))
     np.testing.assert_array_equal(outs[0], outs[1])
+    # save_qd=True (the Q/dQ-tile-sharing path) must agree with the
+    # row-only path on the accumulator itself
+    raw_qd = PK.born_sums(jnp.asarray(pos_pad), jnp.asarray(pos_h.T),
+                          jnp.asarray(hids), jnp.asarray(rowY_pad),
+                          jnp.asarray(coh), jnp.asarray(s), n, tile,
+                          interpret=True, save_qd=True)
+    np.testing.assert_array_equal(np.asarray(raw_qd[0]), outs[1])
 
 
 @pytest.mark.slow
