@@ -307,12 +307,47 @@ def _compact_rows(key, mask, cap):
     return row, off, valid, count, cnt, bnd
 
 
-def _build_sibling_level(prev_lvl, prev_a6, level1, offs, cap, relax):
+# Above this many window candidates (cap_prev * offs) a sibling level is
+# built in row chunks: the one-shot build materializes [cap_prev, offs, _D]
+# candidate tensors, and under HBM pressure XLA's rematerializer inserts
+# per-slice copies whose TPU tiling pads the size-1 axis 128x — 16k-atom
+# systems ran HBM out of memory (observed 128 GB of padded HLO temps at
+# level-2 cap 355k with offs=125).  The chunked build streams the candidate
+# math through a lax.scan and recomputes only the `cap` surviving rows,
+# bounding HBM by the chunk size.  The trigger is TOTAL build pressure,
+# not any single level: measured on a v5e (16 GB), a 10,240-atom build
+# (224M candidates total, largest level 66M) fits and runs ~1.7x faster
+# entirely one-shot, while a 16,384-atom build (372M total) OOMs unless
+# its levels above the per-level threshold are chunked — under HBM
+# pressure XLA's rematerializer re-materializes the window slices with
+# the pathological padding.  So build_tree only enables chunking when the
+# whole build exceeds _SLICE_BUILD_TOTAL candidates, and then chunks the
+# levels above _CHUNK_BUILD_ELEMS.  Both override by env for other HBM
+# sizes.
+import os as _os
+
+_CHUNK_BUILD_ELEMS = int(_os.environ.get("AGBNP_CHUNK_BUILD_ELEMS",
+                                         1 << 25))
+_SLICE_BUILD_TOTAL = int(_os.environ.get("AGBNP_SLICE_BUILD_TOTAL",
+                                         1 << 28))
+_CHUNK_ROWS = 1 << 16
+
+
+def _build_sibling_level(prev_lvl, prev_a6, level1, offs, cap, relax,
+                         pressured=None):
     """Next-level build without O(ncand) gathers: the partner's atomic row
     comes from a shifted window of the level's own carried atomic matrix
     (prev_a6[s] == level1._at[atom_s]) instead of a dynamic gather, and
-    compaction uses _compact_rows.  Returns (lvl, a6, count, max_sib)."""
+    compaction uses _compact_rows.  Returns (lvl, a6, count, max_sib).
+
+    pressured: whether the whole build exceeds the slice-path HBM budget
+    (computed by build_tree); None falls back to the per-level threshold
+    alone."""
     cap_prev = prev_lvl["_dat"].shape[0]
+    if (cap_prev * offs > _CHUNK_BUILD_ELEMS
+            and (pressured is None or pressured)):
+        return _build_sibling_level_chunked(prev_lvl, prev_a6, level1,
+                                            offs, cap, relax)
     src_i = jnp.concatenate(
         [prev_lvl["_ints"], prev_lvl["valid"][:, None].astype(jnp.int32)],
         axis=1)
@@ -340,6 +375,85 @@ def _build_sibling_level(prev_lvl, prev_a6, level1, offs, cap, relax):
     a6 = level1["_at"][atom2]
     lvl = _level_views(out_dat, ints, valid)
     lvl["bnd"] = bnd
+    return lvl, a6, count, jnp.max(cnt)
+
+
+def _build_sibling_level_chunked(prev_lvl, prev_a6, level1, offs, cap,
+                                 relax):
+    """Memory-bounded variant of _build_sibling_level for huge levels.
+
+    Phase 1 scans the rows in _CHUNK_ROWS blocks, computing per row only
+    the survivor mask, the volume-descending within-row candidate order,
+    and the survivor count — never materializing the full
+    [cap_prev, offs, _D] candidate tensor.  Phase 2 is the _compact_rows
+    cumsum placement on the counts.  Phase 3 recomputes the 2-Gaussian
+    candidate data (deterministic) for just the `cap` selected slots.
+    Same node set, order, and packed layout as the one-shot path
+    (tests force the dispatch threshold down to cross-check them)."""
+    cap_prev = prev_lvl["_dat"].shape[0]
+    src_i = jnp.concatenate(
+        [prev_lvl["_ints"], prev_lvl["valid"][:, None].astype(jnp.int32)],
+        axis=1)
+    srcp_i = jnp.pad(src_i, ((0, offs), (0, 0)), constant_values=-1)
+    srcp_a = jnp.pad(prev_a6, ((0, offs), (0, 0)))
+
+    B = min(_CHUNK_ROWS, cap_prev)
+    nblk = -(-cap_prev // B)
+    capp = nblk * B
+    padr = capp - cap_prev
+    dat_s = jnp.pad(prev_lvl["_dat"], ((0, padr), (0, 0)))
+    parent_p = jnp.pad(prev_lvl["parent"], (0, padr))
+    valid_p = jnp.pad(prev_lvl["valid"], (0, padr))
+    ow = jnp.arange(1, offs + 1, dtype=jnp.int32)
+    iw = jnp.arange(offs, dtype=jnp.int32)
+
+    def blk(carry, start):
+        rows = jax.lax.dynamic_slice_in_dim(dat_s, start, B)
+        par = jax.lax.dynamic_slice_in_dim(parent_p, start, B)
+        val = jax.lax.dynamic_slice_in_dim(valid_p, start, B)
+        idxw = (start + jnp.arange(B, dtype=jnp.int32))[:, None] + ow[None, :]
+        wi = srcp_i[jnp.minimum(idxw, srcp_i.shape[0] - 1)]
+        wa = srcp_a[jnp.minimum(idxw, srcp_a.shape[0] - 1)]
+        pair_ok = ((wi[:, :, 2] > 0) & val[:, None]
+                   & (wi[:, :, 1] == par[:, None]))
+        dat, sgvol = _cand_dat(rows[:, 0:1], rows[:, 1:2],
+                               rows[:, None, 2:5], rows[:, 11:12], wa)
+        m = pair_ok & _survive_mask(dat, sgvol, relax)
+        skey = jnp.where(m, -dat[:, :, 5], jnp.inf)
+        _, off_sorted = jax.lax.sort(
+            (skey, jnp.broadcast_to(iw[None, :], (B, offs))),
+            dimension=1, num_keys=1, is_stable=True)
+        return carry, (off_sorted, jnp.sum(m, axis=1).astype(jnp.int32))
+
+    starts = (jnp.arange(nblk, dtype=jnp.int32) * B)
+    _, (off_sorted, cnt) = jax.lax.scan(blk, 0, starts)
+    off_sorted = off_sorted.reshape(capp, offs)
+    cnt = cnt.reshape(capp)
+
+    # _compact_rows placement on the counts (padded rows have cnt == 0)
+    ends = jnp.cumsum(cnt)
+    starts_r = ends - cnt
+    count = ends[-1]
+    marks = jnp.zeros(cap, jnp.int32).at[starts_r].add(1, mode="drop")
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    row = jnp.clip(jnp.cumsum(marks) - 1, 0, cap_prev - 1)
+    pos = slot - starts_r[row]
+    off = off_sorted.reshape(-1)[row * offs + jnp.clip(pos, 0, offs - 1)]
+    valid = slot < count
+
+    # recompute candidate data for the selected slots only
+    src_idx = jnp.where(valid, row + 1 + off, 0)
+    partner_a = srcp_a[src_idx]                      # [cap, 6]
+    atom2 = jnp.where(valid, srcp_i[src_idx, 0], 0)
+    rows_sel = dat_s[row]
+    dat_sel, _ = _cand_dat(rows_sel[:, 0:1], rows_sel[:, 1:2],
+                           rows_sel[:, None, 2:5], rows_sel[:, 11:12],
+                           partner_a[:, None, :])
+    out_dat = jnp.where(valid[:, None], dat_sel[:, 0, :], 0.0)
+    ints = jnp.stack([atom2, jnp.where(valid, row, 0)], axis=1)     .astype(jnp.int32)
+    a6 = level1["_at"][atom2]
+    lvl = _level_views(out_dat, ints, valid)
+    lvl["bnd"] = dict(pmono=row)
     return lvl, a6, count, jnp.max(cnt)
 
 
@@ -405,9 +519,12 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
     counts.append(count)
     sib_max.append(msib)
 
+    total_cand = sum(c * o for c, o in zip(caps.caps[:-1], caps.offs))
+    pressured = total_cand > _SLICE_BUILD_TOTAL
     for l in range(1, NUM_TREE_LEVELS):
         lvl, a6, count, msib = _build_sibling_level(
-            levels[-1], a6, level1, caps.offs[l - 1], caps.caps[l], relax)
+            levels[-1], a6, level1, caps.offs[l - 1], caps.caps[l], relax,
+            pressured=pressured)
         levels.append(lvl)
         counts.append(count)
         sib_max.append(msib)

@@ -80,6 +80,47 @@ def test_sorted_segment_reduce_matches_scatter(gaussvol_system, model_v1):
                                atol=1e-10)
 
 
+def test_chunked_sibling_build_matches_oneshot(gaussvol_system, model_v1,
+                                               monkeypatch):
+    """The memory-bounded chunked level build (dispatched above
+    _CHUNK_BUILD_ELEMS window candidates; what >12k-atom systems use) must
+    reproduce the one-shot slice-window build exactly: same node data,
+    indices, validity, and counts at every level."""
+    from openmm_agbnp_plugin_tpu.ops import tree as T
+
+    params, pos = gaussvol_system
+    m = model_v1
+    gdr = jnp.asarray(m.arrays["gamma"]) / params.roffset
+    lvl1 = make_level1_args = (jnp.asarray(pos),
+                               jnp.asarray(m.arrays["radii_large"]),
+                               jnp.asarray(m.arrays["vol_large"]), gdr,
+                               jnp.asarray(m.arrays["ishydrogen"]))
+    lvl1 = T.make_level1(*make_level1_args)
+
+    def build():
+        return T.build_tree(lvl1, jnp.asarray(m.arrays["pairs_i"]),
+                            jnp.asarray(m.arrays["pairs_j"]), m.caps,
+                            pairs_valid=jnp.asarray(
+                                m.arrays["pairs_valid"]))
+
+    levels_a, diag_a = build()
+    monkeypatch.setattr(T, "_CHUNK_BUILD_ELEMS", 0)
+    monkeypatch.setattr(T, "_SLICE_BUILD_TOTAL", 0)  # pressure the build
+    monkeypatch.setattr(T, "_CHUNK_ROWS", 128)  # force multi-block scans
+    levels_b, diag_b = build()
+    np.testing.assert_array_equal(np.asarray(diag_a["counts"]),
+                                  np.asarray(diag_b["counts"]))
+    for la, lb in zip(levels_a, levels_b):
+        np.testing.assert_array_equal(np.asarray(la["valid"]),
+                                      np.asarray(lb["valid"]))
+        np.testing.assert_array_equal(np.asarray(la["_ints"]),
+                                      np.asarray(lb["_ints"]))
+        np.testing.assert_allclose(np.asarray(la["_dat"]),
+                                   np.asarray(lb["_dat"]), rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(la["bnd"]["pmono"]),
+                                      np.asarray(lb["bnd"]["pmono"]))
+
+
 @pytest.mark.slow
 def test_agbnp1_forces_equal_autodiff(gaussvol_system, model_v1):
     """The hand-derived analytic force chain must equal jax.grad through the
