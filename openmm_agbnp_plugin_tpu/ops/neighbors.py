@@ -134,13 +134,20 @@ def cell_neighbor_pairs(pos, heavy_mask, rcut: float, kmax: int,
     cand = table[nbr_cid].reshape(n, 27 * ccap)    # [N, 27*ccap]
     jj = jnp.arange(n, dtype=jnp.int32)
     cand_c = jnp.minimum(cand, n - 1)
-    # per-component distances: a pos[cand_c] gather would materialize
-    # [N*27*ccap, 3], whose minor-dim-3 TPU tiling pads 42x (19 GB at
-    # 24k atoms); three [N, 27*ccap] component gathers tile cleanly
-    d2 = None
-    for k in range(3):
-        dk = pos[:, k][cand_c] - pos[:, k][:, None]
-        d2 = dk * dk if d2 is None else d2 + dk * dk
+    if n * 27 * ccap > (1 << 25):
+        # huge systems: a pos[cand_c] gather materializes [N*27*ccap, 3],
+        # whose minor-dim-3 TPU tiling pads 42x (19 GB at 24k atoms —
+        # fails to compile); three [N, 27*ccap] component gathers tile
+        # cleanly.  Only used above the threshold because TPU gathers are
+        # row-serial and three scalar gathers cost ~3x the one row gather
+        # (measured: -17% MD throughput on 2clr/1dwc when unconditional).
+        d2 = None
+        for k in range(3):
+            dk = pos[:, k][cand_c] - pos[:, k][:, None]
+            d2 = dk * dk if d2 is None else d2 + dk * dk
+    else:
+        delta = pos[cand_c] - pos[:, None, :]
+        d2 = jnp.sum(delta * delta, axis=-1)
     ok = ((cand < n) & (cand > jj[:, None]) & (d2 < rcut * rcut)
           & heavy_mask[:, None])
 
