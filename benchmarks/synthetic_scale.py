@@ -80,7 +80,39 @@ def run(natoms: int, repeats: int = 10):
     return dt
 
 
+def run_md(natoms: int, nsteps: int = 100):
+    """Full MD loop at synthetic scale: Langevin under the fused scan with
+    on-device neighbor rebuilds, stale-topology rescans and PanicButton
+    overflow recovery — Simulation duck-types the dms object, so a
+    synthetic system drives the identical code path the .dms benchmarks
+    use (include_mm=False: AGBNP-only forces)."""
+    from types import SimpleNamespace
+
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    pos, radius, gamma, alpha, charge, ish = synthetic_system(natoms)
+    dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
+    sysns = SimpleNamespace(
+        agbnp_radius=radius, agbnp_gamma=gamma, agbnp_alpha=alpha,
+        charges=charge, ishydrogen=ish, positions=pos,
+        velocities=np.zeros_like(pos),
+        masses=np.where(ish > 0, 1.008, 12.011))
+    t0 = time.time()
+    sim = Simulation(sysns, version=1, cutoff=1.0, dtype=dtype,
+                     include_mm=False)
+    print(f"n={natoms} MD init {time.time()-t0:.1f}s", flush=True)
+    res = sim.benchmark_langevin(nsteps=nsteps, dt=0.001, temperature=300.0,
+                                 neighbor_every=20)
+    e = np.asarray(res["energies"])
+    assert np.isfinite(e).all()
+    print(f"  MD {nsteps} steps: {res['ns_day']:.3f} ns/day "
+          f"({1e3 * res['elapsed_s'] / nsteps:.1f} ms/step), "
+          f"overflow={res['overflow']}", flush=True)
+    return res
+
+
 if __name__ == "__main__":
-    sizes = [int(x) for x in sys.argv[1:]] or [10240]
+    md = "--md" in sys.argv
+    sizes = [int(x) for x in sys.argv[1:] if not x.startswith("-")] or [10240]
     for n in sizes:
-        run(n)
+        (run_md if md else run)(n)

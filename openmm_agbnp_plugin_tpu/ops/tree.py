@@ -328,8 +328,16 @@ import os as _os
 
 _CHUNK_BUILD_ELEMS = int(_os.environ.get("AGBNP_CHUNK_BUILD_ELEMS",
                                          1 << 25))
+# per-level floor when the whole build is over budget: every level above
+# this chunks (a 16k-atom MD build OOMed on its 30M-candidate level 2 —
+# under the while-loop's remat pressure even mid-size levels explode)
+_CHUNK_LEVEL_MIN = int(_os.environ.get("AGBNP_CHUNK_LEVEL_MIN", 1 << 24))
+# 240M: a 10,240-atom one-shot build (224M) stays on the fast path, while
+# a 16,384-atom MD build with lean caps (256M) chunks — inside the MD
+# while-loop XLA remats even more aggressively, so the budget is
+# calibrated to the loop case.
 _SLICE_BUILD_TOTAL = int(_os.environ.get("AGBNP_SLICE_BUILD_TOTAL",
-                                         1 << 28))
+                                         240 * 1024 * 1024))
 _CHUNK_ROWS = 1 << 16
 
 
@@ -344,8 +352,10 @@ def _build_sibling_level(prev_lvl, prev_a6, level1, offs, cap, relax,
     (computed by build_tree); None falls back to the per-level threshold
     alone."""
     cap_prev = prev_lvl["_dat"].shape[0]
-    if (cap_prev * offs > _CHUNK_BUILD_ELEMS
-            and (pressured is None or pressured)):
+    elems = cap_prev * offs
+    chunk = (elems > _CHUNK_BUILD_ELEMS if pressured is None
+             else pressured and elems > _CHUNK_LEVEL_MIN)
+    if chunk:
         return _build_sibling_level_chunked(prev_lvl, prev_a6, level1,
                                             offs, cap, relax)
     src_i = jnp.concatenate(

@@ -106,6 +106,7 @@ def test_chunked_sibling_build_matches_oneshot(gaussvol_system, model_v1,
     levels_a, diag_a = build()
     monkeypatch.setattr(T, "_CHUNK_BUILD_ELEMS", 0)
     monkeypatch.setattr(T, "_SLICE_BUILD_TOTAL", 0)  # pressure the build
+    monkeypatch.setattr(T, "_CHUNK_LEVEL_MIN", 0)
     monkeypatch.setattr(T, "_CHUNK_ROWS", 128)  # force multi-block scans
     levels_b, diag_b = build()
     np.testing.assert_array_equal(np.asarray(diag_a["counts"]),
