@@ -53,6 +53,7 @@ def test_shake_projects_and_rattle_orthogonal(trpcage_dms):
     assert float(jnp.max(rate / (cons.d ** 2))) < 1e-7
 
 
+@pytest.mark.slow
 def test_constrained_langevin_2fs(trpcage_dms):
     """Constrained MD holds X-H bond lengths at a 2 fs step — the step size
     the unconstrained setup cannot take (X-H stretch period ~10 fs)."""

@@ -30,6 +30,7 @@ def model_v0(gaussvol_system):
     return AGBNPModel(params, version=0)
 
 
+@pytest.mark.slow
 def test_gvolsa_parity(gaussvol_system, model_v0):
     params, pos = gaussvol_system
     e_o, f_o, _ = gvolsa_energy_forces(params, pos)
@@ -48,6 +49,7 @@ def test_agbnp1_parity(gaussvol_system, model_v1):
     np.testing.assert_allclose(np.array(f), f_o, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sorted_segment_reduce_matches_scatter(gaussvol_system, model_v1):
     """The scan-based upward reduction (bnd path, used on TPU because
     scatter cost grows with the segment space) must agree with the plain
@@ -80,6 +82,7 @@ def test_sorted_segment_reduce_matches_scatter(gaussvol_system, model_v1):
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_chunked_sibling_build_matches_oneshot(gaussvol_system, model_v1,
                                                monkeypatch):
     """The memory-bounded chunked level build (dispatched above

@@ -59,6 +59,7 @@ def test_native_tree_matches_oracle(oracle_run):
     assert ng.total_nodes() == sum(counts[1:]) + 1
 
 
+@pytest.mark.slow
 def test_size_tree_caps_covers_build(oracle_run):
     """Capacities from the native pre-pass must cover the measured JAX tree
     build (the property the PanicButton relies on at startup)."""

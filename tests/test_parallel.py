@@ -116,6 +116,7 @@ def test_sharded_tree_and_pair_pipeline_match_dense(gaussvol_system):
         np.asarray(ref["details"]["self_volume"]), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_replica_ensemble_md(tiny_sim):
     """8 replicas sharded over 8 CPU devices; energies diverge per replica
     (independent noise) and stay finite."""
