@@ -27,6 +27,26 @@ def temperature(vel, masses):
     return 2.0 * kinetic_energy(vel, masses) / (ndof * KB)
 
 
+def maxwell_boltzmann_velocities(key, masses, temp, dtype=None,
+                                 remove_com: bool = True):
+    """Draw velocities from the Maxwell-Boltzmann distribution at `temp`
+    (the setVelocitiesToTemperature analogue of OpenMM's Context, which the
+    reference systems' MD setup uses).  With remove_com the center-of-mass
+    drift is projected out (and the sample rescaled so the kinetic
+    temperature of the remaining DOF is exactly `temp`)."""
+    masses = jnp.asarray(masses)
+    dtype = dtype or masses.dtype
+    sigma = jnp.sqrt(KB * temp / masses)[:, None].astype(dtype)
+    vel = sigma * jax.random.normal(key, (masses.shape[0], 3), dtype=dtype)
+    if remove_com:
+        m = masses[:, None].astype(dtype)
+        vel = vel - jnp.sum(m * vel, axis=0) / jnp.sum(m)
+        ndof = masses.shape[0] * 3 - 3
+        ke = 0.5 * jnp.sum(m * vel * vel)
+        vel = vel * jnp.sqrt(0.5 * ndof * KB * temp / ke)
+    return vel
+
+
 def langevin_middle_step(force_fn, masses, dt, temp, friction,
                          constraints=None):
     """One step of the middle-scheme Langevin integrator.

@@ -121,6 +121,15 @@ class Simulation:
             from .constraints import Constraints
             self.constraints = Constraints.from_dms(dms)
 
+    def set_velocities_to_temperature(self, temperature, seed: int = 0):
+        """Maxwell-Boltzmann velocities at `temperature` (OpenMM's
+        Context.setVelocitiesToTemperature analogue), COM motion removed."""
+        from .integrators import maxwell_boltzmann_velocities
+        self.velocities = maxwell_boltzmann_velocities(
+            jax.random.PRNGKey(seed), self.masses, temperature,
+            dtype=self.positions.dtype)
+        return self.velocities
+
     def _agbnp_force(self, pos, pairs=None, topology=None,
                      mm_nb=None, a=None):
         a = self.agbnp.arrays if a is None else a
@@ -640,7 +649,8 @@ class Simulation:
 
     def run_md(self, nsteps, dt=0.001, temperature=300.0, friction=1.0,
                seed=0, neighbor_every: int = 20, segment: int | None = None,
-               max_regrow: int = 8, pos=None, vel=None, mts_inner: int = 0):
+               max_regrow: int = 8, pos=None, vel=None, mts_inner: int = 0,
+               report_interval: int = 0, reporter=None):
         """Langevin MD with automatic PanicButton recovery.
 
         Runs in segments; when a segment overflowed the overlap-tree
@@ -652,11 +662,25 @@ class Simulation:
         (false) -> buffer resize -> OpenMM retries the step,
         OpenCLAGBNPKernels.cpp:3598-3634).  Returns the same dict as
         benchmark_langevin plus 'regrows'.
+
+        report_interval > 0 collects a position snapshot every that many
+        steps (it becomes the segment size, so each snapshot costs the
+        per-segment host sync run_md already pays): the returned dict gains
+        'frames' [F, N, 3] and 'frame_steps'; write them out with
+        io.dcd.write_dcd.  `reporter(step, pos, vel)` is additionally
+        called per snapshot when given (e.g. incremental trajectory IO).
+        Snapshots come only from clean (non-overflowed) segments.
         """
-        if segment is None:
-            segment = min(nsteps, 50 * neighbor_every)
-        segment -= segment % neighbor_every or 0
-        segment = max(segment, min(nsteps, neighbor_every))
+        if report_interval:
+            if segment is not None and segment != report_interval:
+                raise ValueError("segment and report_interval conflict; "
+                                 "give one of them")
+            segment = max(int(report_interval), 1)
+        else:
+            if segment is None:
+                segment = min(nsteps, 50 * neighbor_every)
+            segment -= segment % neighbor_every or 0
+            segment = max(segment, min(nsteps, neighbor_every))
         assert segment > 0
 
         run = self.make_langevin_runner(dt, temperature, friction,
@@ -666,6 +690,7 @@ class Simulation:
         pos = self.positions if pos is None else pos
         vel = self.velocities if vel is None else vel
         energies = []
+        frames, frame_steps = [], []
         done = 0
         regrows = 0
         t0 = time.perf_counter()
@@ -689,10 +714,19 @@ class Simulation:
             pos, vel, key = new_pos, new_vel, new_key
             energies.append(np.asarray(e))
             done += n
+            if report_interval:
+                frames.append(np.asarray(pos))
+                frame_steps.append(done)
+                if reporter is not None:
+                    reporter(done, pos, vel)
         elapsed = time.perf_counter() - t0
-        return dict(ns_day=nsteps * dt * 1e-3 / elapsed * 86400.0,
-                    elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
-                    final_pos=pos, final_vel=vel, regrows=regrows,
-                    energies=np.concatenate(energies),
-                    tree_counts_max=counts, neighbor_max=int(nbmax),
-                    overflow=False)
+        out = dict(ns_day=nsteps * dt * 1e-3 / elapsed * 86400.0,
+                   elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
+                   final_pos=pos, final_vel=vel, regrows=regrows,
+                   energies=np.concatenate(energies),
+                   tree_counts_max=counts, neighbor_max=int(nbmax),
+                   overflow=False)
+        if report_interval:
+            out["frames"] = np.stack(frames)
+            out["frame_steps"] = np.asarray(frame_steps)
+        return out
