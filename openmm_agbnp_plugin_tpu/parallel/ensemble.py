@@ -50,7 +50,7 @@ class ReplicaEnsemble:
                             states)
 
     def make_runner(self, dt=0.001, temperature=300.0, friction=1.0,
-                    neighbor_every: int = 20):
+                    neighbor_every: int = 20, scan_unroll: int = 4):
         """run(states, nsteps) -> (states, energies [R, nsteps]).
 
         With neighbor_every > 0 each replica rebuilds its own neighbor list
@@ -67,7 +67,8 @@ class ReplicaEnsemble:
                                             dt, temperature, friction,
                                             constraints=sim.constraints)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
-                    step, state, length=nsteps)
+                    step, state, length=nsteps,
+                    unroll=min(scan_unroll, nsteps))
                 return (pos, vel, key), (
                     energies, jnp.max(counts, axis=0),
                     jnp.zeros((), jnp.int32), jnp.zeros(7, jnp.int32))
@@ -104,7 +105,8 @@ class ReplicaEnsemble:
                 sim.masses, dt, temperature, friction,
                 constraints=sim.constraints)
             (pos, vel, key), (energies, counts) = jax.lax.scan(
-                inner, (pos, vel, key), length=ninner)
+                inner, (pos, vel, key), length=ninner,
+                unroll=min(scan_unroll, ninner))
             # carry the overflow diagnostics like make_langevin_runner — an
             # overflowing replica must not silently run with a truncated tree
             maxcounts = jnp.maximum(jnp.max(counts, axis=0), bdiag["counts"])

@@ -127,7 +127,7 @@ class TemperatureREMD:
         return states, xkey
 
     def make_runner(self, dt=0.001, friction=1.0, steps_per_cycle: int = 40,
-                    neighbor_every: int = 40):
+                    neighbor_every: int = 40, scan_unroll: int = 4):
         """run(states, xkey, ncycles) -> (states, xkey, out).
 
         out: dict with U [C, R] (potential at each exchange attempt),
@@ -174,7 +174,8 @@ class TemperatureREMD:
                                          friction,
                                          constraints=sim.constraints)
             (pos, vel, key), (energies, counts) = jax.lax.scan(
-                inner, (pos, vel, key), length=ninner)
+                inner, (pos, vel, key), length=ninner,
+                unroll=min(scan_unroll, ninner))
             maxcounts = jnp.maximum(jnp.max(counts, axis=0),
                                     bdiag["counts"])
             return (pos, vel, key), (energies, maxcounts, nbmax,
