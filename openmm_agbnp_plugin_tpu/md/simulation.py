@@ -226,7 +226,9 @@ class Simulation:
         if self.agbnp2 is not None:
             if split:
                 raise ValueError("MTS supports AGBNP versions 0/1")
-            return self._force_fn_v2()
+            if mesh is not None:
+                raise ValueError("mesh-sharded force requires version 1")
+            return self._force_fn_v2(ms_pairs=pairs, topology=topology)
         if split and self.mm is None:
             raise ValueError("MTS needs an MM force field (the fast class)")
 
@@ -305,10 +307,40 @@ class Simulation:
             return energy, force, counts
         return fn
 
-    def _force_fn_v2(self):
+    def _v2_build(self, pos):
+        """Window-start AGBNP2 build: one full evaluation extracting the
+        stale-window topology — both tree topologies and the frozen MS
+        compaction — plus the [17] overflow counts vector.  Returns
+        (ms_pairs, (topology, countsvec)) in the force_fn(pairs=...,
+        topology=...) convention."""
+        from ..models.agbnp2_jax import agbnp2_energy
+
+        m2 = self.agbnp2
+        a2 = {k: jnp.asarray(v) for k, v in m2.arrays.items()}
+        mpi, mpj, mpv, cand_nb = half_neighbor_pairs(
+            pos, self.heavy_mask, self.ms_rcut, self.ms_kmax_list)
+        _, diags, _, topo = agbnp2_energy(
+            a2, pos, m2.caps, m2.caps_ms, m2.params.roffset, m2.ntypes_j,
+            mpi, mpj, mpv, m2.cap_ms, m2.ms_kmax, m2.common_gamma,
+            cutoff=m2.cutoff, with_topology=True)
+        d0, d1 = diags
+        countsvec = jnp.concatenate([
+            d0["counts"].astype(jnp.int32),
+            d1["counts"].astype(jnp.int32),
+            jnp.stack([d1["ms_count"], d1["ms_nbmax"],
+                       cand_nb]).astype(jnp.int32)])
+        return (mpi, mpj, mpv), (topo, countsvec)
+
+    def _force_fn_v2(self, ms_pairs=None, topology=None):
         """AGBNP2 force function: on-device MS candidate rebuild + jitted
         energy with autodiff forces (models/agbnp2_jax.py), plus the MM
-        force field."""
+        force field.
+
+        With ms_pairs (frozen MS candidate rows) and topology
+        ((topo_dict, build_countsvec) from _v2_build), the tree builds are
+        replaced by fixed-topology rescans — the stale-topology MD window;
+        the build's overflow vector rides the per-step outputs unchanged
+        (rescans cannot overflow)."""
         from ..models.agbnp2_jax import agbnp2_energy
         from .vsites import project_positions, spread_forces
 
@@ -321,6 +353,14 @@ class Simulation:
             # numpy-hosted param arrays become trace-time constants here
             # (indexing them with tracers directly would fail)
             a2 = {k: jnp.asarray(v) for k, v in m2.arrays.items()}
+            if topology is not None:
+                topo, build_counts = topology
+                mpi, mpj, mpv = ms_pairs
+                e, _, details = agbnp2_energy(
+                    a2, pos, m2.caps, m2.caps_ms, m2.params.roffset,
+                    m2.ntypes_j, mpi, mpj, mpv, m2.cap_ms, m2.ms_kmax,
+                    m2.common_gamma, cutoff=m2.cutoff, topology=topo)
+                return e, build_counts
             mpi, mpj, mpv, cand_nb = half_neighbor_pairs(pos, heavy, ms_rcut,
                                                          ms_kmax_list)
             e, diags, details = agbnp2_energy(
@@ -414,8 +454,9 @@ class Simulation:
                 masses, dt, temperature, friction,
                 constraints=self.constraints)
 
-        if self.agbnp2 is not None:
-            neighbor_every = 0  # v2 rebuilds everything per step
+        # v2 with rebuild windows runs the stale-topology rescan path
+        # between builds (see _v2_build); neighbor_every <= 0 keeps the
+        # strict rebuild-everything-per-step evaluation
 
         if mesh is not None and (neighbor_every <= 0 or not rebuild_topology):
             raise ValueError("mesh-sharded MD requires topology-rebuild "
@@ -447,6 +488,20 @@ class Simulation:
 
             def outer(carry, _):
                 pos, vel, key = carry
+                if self.agbnp2 is not None:
+                    # v2 stale-topology window: one full build (topology +
+                    # frozen MS compaction extracted), then fixed-topology
+                    # rescan steps; only the build can overflow, so its
+                    # [17] counts vector rides every step's output
+                    pairs_w, topo_w = self._v2_build(pos)
+                    inner = make_step(ff=ff, pairs=pairs_w, topology=topo_w)
+                    (pos, vel, key), (energies, counts) = jax.lax.scan(
+                        inner, (pos, vel, key), length=ninner,
+                        unroll=min(scan_unroll, ninner))
+                    return ((pos, vel, key),
+                            (energies, jnp.max(counts, axis=0),
+                             jnp.zeros((), jnp.int32),
+                             jnp.zeros(7, jnp.int32)))
                 pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
                 topo = None
                 build_counts = None
@@ -687,10 +742,13 @@ class Simulation:
                 raise ValueError("segment and report_interval conflict; "
                                  "give one of them")
             segment = max(int(report_interval), 1)
+        elif neighbor_every <= 0:
+            # strict rebuild-every-step evaluation: any segment size works
+            segment = min(nsteps, 50) if segment is None else segment
         else:
             if segment is None:
                 segment = min(nsteps, 50 * neighbor_every)
-            segment -= segment % neighbor_every or 0
+            segment -= segment % neighbor_every
             segment = max(segment, min(nsteps, neighbor_every))
         assert segment > 0
 

@@ -60,9 +60,19 @@ def ms_pair_cutoff(radii_vdw) -> float:
     return dms + sigma * math.sqrt(2.0 * math.log(volms0 / VOLMINMSA)) + 0.05
 
 
-def ms_particles(pos, radii_vdw, pi, pj, pvalid, cap_ms):
+def ms_particles(pos, radii_vdw, pi, pj, pvalid, cap_ms, idx=None,
+                 count=None):
     """Padded MS particle set from heavy candidate pairs
-    (reference cpp:895-941).  Returns dict(pos, vol0, p1, p2, valid)."""
+    (reference cpp:895-941).  Returns dict(pos, vol0, p1, p2, valid, idx,
+    count).
+
+    With idx/count (a frozen compaction from an earlier build — the v2
+    stale-topology MD window), the survivor selection is reused and only
+    the geometry (position, volume) is recomputed at the current
+    coordinates: an MS particle that drifted below the volume switch
+    contributes ~0 smoothly, and pairs that would newly appear wait for
+    the next rebuild — the same approximation class as the fixed atomic
+    tree topology between rebuilds."""
     radw = SOLVENT_RADIUS
     volw = sphere_volume(radw)
     r1 = radii_vdw[pi]
@@ -81,8 +91,9 @@ def ms_particles(pos, radii_vdw, pi, pj, pvalid, cap_ms):
     fms = 0.5 * (1.0 + (r1 - r2) / d)
     posms = pos[pj] * fms[:, None] + pos[pi] * (1.0 - fms)[:, None]
 
-    count = jnp.sum(mask)
-    idx = jnp.nonzero(mask, size=cap_ms, fill_value=0)[0]
+    if idx is None:
+        count = jnp.sum(mask)
+        idx = jnp.nonzero(mask, size=cap_ms, fill_value=0)[0]
     valid = jnp.arange(cap_ms) < count
     return dict(
         pos=jnp.where(valid[:, None], posms[idx], 0.0),
@@ -91,6 +102,7 @@ def ms_particles(pos, radii_vdw, pi, pj, pvalid, cap_ms):
         p2=jnp.where(valid, pj[idx], 0).astype(jnp.int32),
         valid=valid,
         count=count,
+        idx=idx,
     )
 
 
@@ -120,16 +132,31 @@ def ms_free_volumes(ms, pos, radii, self_volume, ishydrogen):
 
 def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                   ms_pi, ms_pj, ms_pv, cap_ms, ms_kmax, common_gamma,
-                  cutoff=None):
-    """Total AGBNP2 energy as one jittable function of positions."""
+                  cutoff=None, topology=None, with_topology: bool = False):
+    """Total AGBNP2 energy as one jittable function of positions.
+
+    topology (from an earlier with_topology=True call at nearby
+    coordinates) replaces both tree builds with fixed-topology volume
+    rescans and reuses the frozen MS compaction — the v2 analogue of the
+    v1 stale-topology MD window (volumes exact at the current positions,
+    node sets stale until the next rebuild).  ms_pi/ms_pj/ms_pv must then
+    be the same frozen candidate rows the topology was built from.
+    with_topology=True additionally returns the topology dict."""
     gamma_dr = a["gamma"] / roffset
     radw = SOLVENT_RADIUS
 
     # atomic cavity passes
     lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
                                gamma_dr, a["ishydrogen"])
-    levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"], caps,
-                                pairs_valid=a["pairs_valid"])
+    if topology is None:
+        levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"],
+                                    caps, pairs_valid=a["pairs_valid"])
+    else:
+        levels = T.rescan_volumes(topology["atoms"], lvl1_large)
+        diag = dict(
+            counts=jnp.stack([jnp.sum(t["valid"])
+                              for t in topology["atoms"]]).astype(jnp.int32),
+            max_siblings=jnp.zeros(7, jnp.int32))
     red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=True)
     lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
                              -gamma_dr, a["ishydrogen"])
@@ -138,7 +165,10 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     energy = red1["energy"] + red2["energy"]
 
     # MS particles + free volumes
-    ms = ms_particles(pos, a["radii_vdw"], ms_pi, ms_pj, ms_pv, cap_ms)
+    ms = ms_particles(pos, a["radii_vdw"], ms_pi, ms_pj, ms_pv, cap_ms,
+                      idx=None if topology is None else topology["ms_idx"],
+                      count=None if topology is None
+                      else topology["ms_count"])
     fv_large = ms_free_volumes(ms, pos, a["radii_large"],
                                red1["self_volume"], a["ishydrogen"])
     fv_vdw = ms_free_volumes(ms, pos, a["radii_vdw"],
@@ -149,13 +179,22 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     gamma_ms = jnp.full(n_ms, -common_gamma / roffset, pos.dtype)
     lvl1_ms = T.make_level1(ms["pos"], jnp.full(n_ms, radw, pos.dtype),
                             fv_vdw, gamma_ms, 1 - ms["valid"].astype(jnp.int32))
-    mpi, mpj, mpv, m_nbmax = half_neighbor_pairs(ms["pos"], ms["valid"],
-                                                 tree_pair_cutoff([radw]),
-                                                 ms_kmax)
-    mlevels, mdiag = T.build_tree(lvl1_ms, mpi, mpj, caps_ms, pairs_valid=mpv)
-    # MS-capacity overflow channels (count vs cap_ms truncation, MS-tree
-    # neighbor list) ride the diagnostics for the MD PanicButton
-    mdiag = {**mdiag, "ms_count": ms["count"], "ms_nbmax": m_nbmax}
+    if topology is None:
+        mpi, mpj, mpv, m_nbmax = half_neighbor_pairs(ms["pos"], ms["valid"],
+                                                     tree_pair_cutoff([radw]),
+                                                     ms_kmax)
+        mlevels, mdiag = T.build_tree(lvl1_ms, mpi, mpj, caps_ms,
+                                      pairs_valid=mpv)
+        # MS-capacity overflow channels (count vs cap_ms truncation, MS-tree
+        # neighbor list) ride the diagnostics for the MD PanicButton
+        mdiag = {**mdiag, "ms_count": ms["count"], "ms_nbmax": m_nbmax}
+    else:
+        mlevels = T.rescan_volumes(topology["ms"], lvl1_ms)
+        mdiag = dict(
+            counts=jnp.stack([jnp.sum(t["valid"])
+                              for t in topology["ms"]]).astype(jnp.int32),
+            max_siblings=jnp.zeros(7, jnp.int32),
+            ms_count=ms["count"], ms_nbmax=jnp.zeros((), jnp.int32))
     mred2 = T.reduce_tree(mlevels, lvl1_ms, with_selfvol=True)
     energy = energy + mred2["energy"]
 
@@ -189,6 +228,11 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                    gb_self=gb["gb_self"], gb_pair=gb["gb_pair"], e_vdw=e_vdw,
                    num_ms=ms["count"], self_volume=self_volume,
                    born_radius=br)
+    if with_topology:
+        topo = dict(atoms=T.tree_topology(levels),
+                    ms=T.tree_topology(mlevels),
+                    ms_idx=ms["idx"], ms_count=ms["count"])
+        return energy, (diag, mdiag), details, topo
     return energy, (diag, mdiag), details
 
 

@@ -168,3 +168,71 @@ def test_agbnp2_md_smoke(gaussvol_system):
     res = sim.benchmark_langevin(nsteps=4, dt=0.0005, warmup=False,
                                  neighbor_every=0)
     assert np.isfinite(res["energies"]).all()
+
+
+@pytest.mark.slow
+def test_agbnp2_topology_rescan_matches_build(small_system):
+    """v2 stale-topology windows: at the build positions, the fixed-
+    topology rescan path (frozen MS compaction + both tree topologies)
+    reproduces the direct-build energy and autodiff forces; at displaced
+    positions its own gradient still passes a tight FD check."""
+    import jax
+    import jax.numpy as jnp
+
+    from openmm_agbnp_plugin_tpu.models.agbnp2_jax import (
+        AGBNP2Model, agbnp2_energy)
+
+    params, pos = small_system
+    m = AGBNP2Model(params, dtype=np.float64, positions=pos)
+    a2 = {k: jnp.asarray(v) for k, v in m.arrays.items()}
+    q = jnp.asarray(pos)
+    kw = dict(caps=m.caps, caps_ms=m.caps_ms, roffset=m.params.roffset,
+              ntypes_j=m.ntypes_j, ms_pi=m.ms_pi, ms_pj=m.ms_pj,
+              ms_pv=m.ms_pv, cap_ms=m.cap_ms, ms_kmax=m.ms_kmax,
+              common_gamma=m.common_gamma, cutoff=m.cutoff)
+
+    def e_build(q):
+        return agbnp2_energy(a2, q, **kw)[0]
+
+    _, _, _, topo = agbnp2_energy(a2, q, with_topology=True, **kw)
+
+    def e_topo(q):
+        return agbnp2_energy(a2, q, topology=topo, **kw)[0]
+
+    e0, g0 = jax.jit(jax.value_and_grad(e_build))(q)
+    e1, g1 = jax.jit(jax.value_and_grad(e_topo))(q)
+    assert float(e1) == pytest.approx(float(e0), abs=1e-9)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-9)
+
+    # displaced positions: the rescan energy's autodiff gradient is exact
+    # for the (stale-topology) energy function it evaluates
+    rng = np.random.default_rng(7)
+    qd = q + jnp.asarray(rng.uniform(-2e-4, 2e-4, size=pos.shape))
+    d = jnp.asarray(rng.uniform(-5e-5, 5e-5, size=pos.shape))
+    _, gd = jax.jit(jax.value_and_grad(e_topo))(qd)
+    de = float(e_topo(qd + d)) - float(e_topo(qd - d))
+    assert de == pytest.approx(2.0 * float(jnp.sum(gd * d)), rel=1e-6)
+
+
+@pytest.mark.slow
+def test_agbnp2_windowed_md(gaussvol_system):
+    """Simulation(version=2) with rebuild windows (the new default): the
+    first window's energies match the strict per-step-rebuild path (the
+    build and the rescan evaluate the same function at the build point),
+    and a multi-window run stays finite with no overflow."""
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dms = load_dms(os.path.join(here, "..", "benchmarks", "data",
+                                "trpcage_agbnp1.dms"))
+    sim = Simulation(dms, version=2, dtype=np.float64)
+    res_w = sim.run_md(6, dt=0.0005, neighbor_every=3)
+    assert np.isfinite(res_w["energies"]).all()
+    assert not res_w["overflow"] and res_w["regrows"] == 0
+
+    res_s = sim.run_md(1, dt=0.0005, neighbor_every=0)
+    # step 1 evaluates at the same positions in both paths; the windowed
+    # energy comes through the rescan, the strict one through the build
+    assert res_w["energies"][0] == pytest.approx(
+        float(res_s["energies"][0]), abs=1e-8)
