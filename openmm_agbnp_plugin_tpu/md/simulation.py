@@ -715,8 +715,9 @@ class Simulation:
 
     def run_md(self, nsteps, dt=0.001, temperature=300.0, friction=1.0,
                seed=0, neighbor_every: int = 20, segment: int | None = None,
-               max_regrow: int = 8, pos=None, vel=None, mts_inner: int = 0,
-               report_interval: int = 0, reporter=None):
+               max_regrow: int = 8, pos=None, vel=None, key=None,
+               mts_inner: int = 0, report_interval: int = 0, reporter=None,
+               checkpoint_path: str | None = None):
         """Langevin MD with automatic PanicButton recovery.
 
         Runs in segments; when a segment overflowed the overlap-tree
@@ -736,6 +737,15 @@ class Simulation:
         io.dcd.write_dcd.  `reporter(step, pos, vel)` is additionally
         called per snapshot when given (e.g. incremental trajectory IO).
         Snapshots come only from clean (non-overflowed) segments.
+
+        checkpoint_path writes an exact-resume checkpoint (io/checkpoint.py)
+        after every clean segment: positions, velocities, completed-step
+        count, and the Langevin PRNG key at the boundary.  Resuming with
+        `ck = load_checkpoint(p); run_md(nsteps - ck['step'],
+        pos=ck['positions'], vel=ck['velocities'], key=ck['key'], ...)`
+        (same dt/segment/neighbor_every) reproduces the uninterrupted
+        trajectory bitwise.  `key` overrides the seed-derived PRNG key
+        (accepts a saved raw key-data array).
         """
         if report_interval:
             if segment is not None and segment != report_interval:
@@ -755,9 +765,12 @@ class Simulation:
         run = self.make_langevin_runner(dt, temperature, friction,
                                         neighbor_every=neighbor_every,
                                         mts_inner=mts_inner)
-        key = jax.random.PRNGKey(seed)
-        pos = self.positions if pos is None else pos
-        vel = self.velocities if vel is None else vel
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        else:
+            key = jnp.asarray(key, jnp.uint32)
+        pos = self.positions if pos is None else jnp.asarray(pos, self.dtype)
+        vel = self.velocities if vel is None else jnp.asarray(vel, self.dtype)
         energies = []
         frames, frame_steps = [], []
         done = 0
@@ -783,6 +796,13 @@ class Simulation:
             pos, vel, key = new_pos, new_vel, new_key
             energies.append(np.asarray(e))
             done += n
+            if checkpoint_path is not None:
+                from ..io.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, done, pos, vel, key,
+                                meta=dict(dt=dt, temperature=temperature,
+                                          friction=friction,
+                                          neighbor_every=neighbor_every,
+                                          segment=segment, nsteps=nsteps))
             if report_interval:
                 frames.append(np.asarray(pos))
                 frame_steps.append(done)

@@ -217,3 +217,32 @@ def test_mts_verlet_energy_conservation(trpcage_sim):
     drift = abs(tot[-1] - tot[0])
     assert np.isfinite(tot).all()
     assert drift < 0.05 * abs(tot[0]) + 5.0
+
+
+def test_run_md_checkpoint_exact_resume(trpcage_sim, tmp_path):
+    """Exact-resume checkpointing: a run interrupted at a segment boundary
+    and resumed from the checkpoint (positions + velocities + PRNG key)
+    reproduces the uninterrupted trajectory bitwise — beyond the
+    reference's statistical .dms restart (example/trpcage_benchmark.py:
+    9-43), which loses the RNG stream."""
+    from openmm_agbnp_plugin_tpu.io.checkpoint import load_checkpoint
+
+    sim = trpcage_sim
+    kw = dict(dt=0.001, neighbor_every=3, segment=6, seed=3)
+    full = sim.run_md(12, **kw)
+
+    ck_path = str(tmp_path / "md.ckpt.npz")
+    part = sim.run_md(6, checkpoint_path=ck_path, **kw)
+    ck = load_checkpoint(ck_path)
+    assert ck["step"] == 6
+    assert ck["meta"]["dt"] == 0.001
+    np.testing.assert_array_equal(np.asarray(part["final_pos"]),
+                                  ck["positions"])
+
+    rest = sim.run_md(6, pos=ck["positions"], vel=ck["velocities"],
+                      key=ck["key"], **kw)
+    np.testing.assert_array_equal(np.asarray(rest["final_pos"]),
+                                  np.asarray(full["final_pos"]))
+    np.testing.assert_array_equal(np.asarray(rest["final_vel"]),
+                                  np.asarray(full["final_vel"]))
+    np.testing.assert_array_equal(rest["energies"], full["energies"][6:])
