@@ -16,3 +16,4 @@ Public entry points:
 __version__ = "0.1.0"
 
 from .api.force import AGBNPForce, Context, NonbondedMethod  # noqa: F401
+from .api.scoring import ConformerScorer  # noqa: F401

@@ -401,6 +401,13 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     return dict(energy=energy, force=force, diag=diag, details=details)
 
 
+def batched_diag_max(diag) -> dict:
+    """Reduce a vmapped diag pytree (leading batch axis on every leaf) to
+    the worst case over the batch, so the host-side PanicButton check
+    (`ops.tree.check_overflow`) sees the largest tree any conformer built."""
+    return {k: np.max(np.asarray(v), axis=0) for k, v in diag.items()}
+
+
 class AGBNPModel:
     """Prepared AGBNP system with a jit-compiled energy/forces entry point.
 
@@ -538,12 +545,38 @@ class AGBNPModel:
             neighbor_grid=self.neighbor_grid, box=self.box,
             pair_pad=self.pair_pad, pair_interpret=self.pair_interpret,
             descreen_horizon=self.descreen_horizon))
+        self._jit_vef = None  # batched variant rebuilt lazily after regrow
 
     def energy_forces(self, pos, with_details: bool = False):
         out = self._jit_ef(self.arrays, jnp.asarray(pos, self.dtype))
         if with_details:
             return out["energy"], out["force"], out
         return out["energy"], out["force"]
+
+    def batched_energy_forces(self, pos_batch):
+        """Evaluate B conformations [B, N, 3] of the same system in one
+        vmapped jit call (the batched-rescoring path; no reference analogue
+        — the reference scores one conformation per Context evaluation).
+
+        Requires the XLA pair-phase path (pair_pad == 0).  Returns the full
+        out dict with every leaf carrying a leading batch axis; pass the
+        diag through `batched_diag_max` before `check_and_grow`.
+        """
+        if self.pair_pad > 0:
+            raise ValueError(
+                "batched_energy_forces requires the XLA pair path "
+                "(construct the model with pair_kernel=False)")
+        if getattr(self, "_jit_vef", None) is None:
+            self._jit_vef = jax.jit(jax.vmap(
+                partial(energy_forces, caps=self.caps, version=self.version,
+                        roffset=self.params.roffset, ntypes_j=self.ntypes_j,
+                        cutoff=self.cutoff, mixed=self.mixed,
+                        neighbor_rcut=self.neighbor_rcut,
+                        neighbor_kmax=self.neighbor_kmax,
+                        neighbor_grid=self.neighbor_grid, box=self.box,
+                        descreen_horizon=self.descreen_horizon),
+                in_axes=(None, 0)))
+        return self._jit_vef(self.arrays, jnp.asarray(pos_batch, self.dtype))
 
     def check_and_grow(self, diag) -> bool:
         """PanicButton: grow capacities if the last evaluation overflowed.
