@@ -18,6 +18,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles
+# of the big fused programs, which are identical run-to-run.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest
