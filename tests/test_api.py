@@ -1,5 +1,7 @@
 """Reference-parity tests of the public AGBNPForce/Context API surface."""
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -159,6 +161,28 @@ def test_cutoff_periodic_requires_box(gaussvol_system):
     with pytest.raises(ValueError, match="orthorhombic"):
         Context(force, dtype=np.float64,
                 box=((5.0, 0.1, 0), (0, 5.0, 0), (0, 0, 5.0)))
+
+
+def test_cutoff_periodic_warns_on_straddling_extent(gaussvol_system):
+    """Coordinates whose extent approaches the box (i.e. likely wrapped)
+    trigger the cavity-term guard warning; well-contained ones don't."""
+    params, pos = gaussvol_system
+    force = _build_force(params, pos, version=1)
+    force.setNonbondedMethod(NonbondedMethod.CutoffPeriodic)
+    force.setCutoffDistance(1.0)
+    extent = float((pos.max(axis=0) - pos.min(axis=0)).max())
+    tight = extent / 0.8  # extent = 0.8 * box > 0.75 * box on one axis
+    ctx = Context(force, dtype=np.float64,
+                  box=((tight, 0, 0), (0, tight, 0), (0, 0, tight)))
+    with pytest.warns(RuntimeWarning, match="wrapped"):
+        ctx.setPositions(pos)
+
+    roomy = 4.0 * extent
+    ctx2 = Context(force, dtype=np.float64,
+                   box=((roomy, 0, 0), (0, roomy, 0), (0, 0, roomy)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ctx2.setPositions(pos)
 
 
 @pytest.mark.slow
