@@ -39,10 +39,17 @@ def timeit(fn, *args, n=20):
 
 def main():
     system = sys.argv[1] if len(sys.argv) > 1 else "1li2_agbnp1"
+    # bench-matching knobs: cutoff (nm | "none") and descreen horizon
+    # ("cutoff" | nm | "lut"); defaults reproduce bench.py's configuration
+    cutoff = sys.argv[2] if len(sys.argv) > 2 else "1.0"
+    cutoff = None if cutoff == "none" else float(cutoff)
+    dh = sys.argv[3] if len(sys.argv) > 3 else "cutoff"
+    dh = None if dh == "lut" else ("cutoff" if dh == "cutoff" else float(dh))
     here = os.path.dirname(os.path.abspath(__file__))
     dms = load_dms(os.path.join(here, "data", f"{system}.dms"))
     dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
-    sim = Simulation(dms, version=1, cutoff=None, dtype=dtype, skin=0.25)
+    sim = Simulation(dms, version=1, cutoff=cutoff, dtype=dtype, skin=0.25,
+                     descreen_horizon=dh)
     a = sim.agbnp.arrays
     caps = sim.agbnp.caps
     pos = jnp.asarray(dms.positions, dtype)
@@ -123,7 +130,8 @@ def main():
         def pair_pallas(p, s):
             pp = _pair_phases_pallas(a, p, sim.agbnp.cutoff, None,
                                      sim.agbnp.pair_pad,
-                                     sim.agbnp.pair_interpret)(s)
+                                     sim.agbnp.pair_interpret,
+                                     horizon=sim.agbnp.descreen_horizon)(s)
             return pp["gb_self"] + pp["gb_pair"] + pp["e_vdw"], \
                 pp["pair_force"], pp["evdw_der_W"] + pp["egb_der_U"]
         print(f"pair phases total (Pallas): "
