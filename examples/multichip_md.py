@@ -62,7 +62,7 @@ def main():
     run = sim.make_langevin_runner(dt=0.001, temperature=300.0,
                                    neighbor_every=ne, mesh=mesh)
     key = jax.random.PRNGKey(0)
-    pos, vel, key, energies, (counts, nbmax, sibs) = run(
+    pos, vel, key, energies, (counts, nbmax, sibs, *_) = run(
         sim.positions, sim.velocities, key, nsteps)
     energies = np.asarray(energies)
     assert np.isfinite(energies).all()

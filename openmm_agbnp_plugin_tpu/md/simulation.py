@@ -131,7 +131,7 @@ class Simulation:
         return self.velocities
 
     def _agbnp_force(self, pos, pairs=None, topology=None,
-                     mm_nb=None, a=None):
+                     mm_nb=None, a=None, wu_topology=None):
         a = self.agbnp.arrays if a is None else a
         if pairs is not None:
             a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
@@ -146,7 +146,8 @@ class Simulation:
                             pair_pad=self.agbnp.pair_pad,
                             pair_interpret=self.agbnp.pair_interpret,
                             mm_nb=mm_nb,
-                            descreen_horizon=self.agbnp.descreen_horizon)
+                            descreen_horizon=self.agbnp.descreen_horizon,
+                            wu_topology=wu_topology)
         energy = out["energy"]
         e_mm_nb = out["details"].get("e_mm_nb")
         if e_mm_nb is not None:
@@ -200,7 +201,7 @@ class Simulation:
         return self._sharded_fn
 
     def force_fn(self, pairs=None, topology=None, ff=None, mesh=None,
-                 split: bool = False):
+                 split: bool = False, wu_topology=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
@@ -258,7 +259,8 @@ class Simulation:
         else:
             def agbnp_part(pos):
                 return self._agbnp_force(pos, pairs, topology,
-                                         mm_nb=mm_nb, a=a)
+                                         mm_nb=mm_nb, a=a,
+                                         wu_topology=wu_topology)
 
         if split:
             def slow_fn(pos):
@@ -396,7 +398,9 @@ class Simulation:
                              neighbor_every: int = 10,
                              rebuild_topology: bool = True,
                              topology_relax=None, mesh=None,
-                             mts_inner: int = 0, scan_unroll: int = 4):
+                             mts_inner: int = 0, scan_unroll: int = 4,
+                             wu_compact: bool = True,
+                             wu_relax: float = 0.5):
         """Returns run(pos, vel, key, nsteps) — a nested-scan Langevin loop.
 
         With mts_inner > 0, each step is a multiple-timestep (r-RESPA)
@@ -434,6 +438,13 @@ class Simulation:
         rebuilds enter with (smoothly) zero weight, so the error is bounded
         by the switching window and vanishes at each rebuild; set False for
         strict per-step reference semantics.
+
+        With wu_compact (version 1 with rebuild windows, the default), each
+        rebuild also extracts the ancestor closure of the vdW-live tree
+        rows (plus a wu_relax birth margin below the volume switch) and the
+        per-step WU gamma-rescan force pass runs on that compacted topology
+        — exact at the rebuild point (dropped subtrees contribute 0.0,
+        ops/tree.py::compact_topology) and ~13% of the full pass's rows.
         """
         masses, rcut, kmax = self.masses, self.rcut_list, self.kmax
         heavy = self.heavy_mask
@@ -441,16 +452,17 @@ class Simulation:
 
         from .integrators import mts_langevin_step
 
-        def make_step(ff=None, pairs=None, topology=None):
+        def make_step(ff=None, pairs=None, topology=None, wu_topology=None):
             if mts_inner:
                 slow, fast = self.force_fn(pairs=pairs, topology=topology,
-                                           ff=ff, mesh=mesh, split=True)
+                                           ff=ff, mesh=mesh, split=True,
+                                           wu_topology=wu_topology)
                 return mts_langevin_step(slow, fast, masses, dt, temperature,
                                          friction, mts_inner,
                                          constraints=self.constraints)
             return langevin_middle_step(
                 self.force_fn(pairs=pairs, topology=topology, ff=ff,
-                              mesh=mesh),
+                              mesh=mesh, wu_topology=wu_topology),
                 masses, dt, temperature, friction,
                 constraints=self.constraints)
 
@@ -472,6 +484,7 @@ class Simulation:
                     unroll=min(scan_unroll, nsteps))
                 return pos, vel, key, energies, (jnp.max(counts, axis=0),
                                                  jnp.zeros((), jnp.int32),
+                                                 jnp.zeros(7, jnp.int32),
                                                  jnp.zeros(7, jnp.int32))
 
             def run(pos, vel, key, nsteps: int):
@@ -481,6 +494,9 @@ class Simulation:
 
         caps = self.agbnp.caps
         roffset = self.agbnp.params.roffset
+        use_wu = (wu_compact and rebuild_topology and mesh is None
+                  and self.agbnp2 is None and self.agbnp.version == 1)
+        wu_caps = self._ensure_wu_caps(wu_relax) if use_wu else None
 
         @partial(jax.jit, static_argnames=("nouter", "ninner"))
         def run_ff(ff, pos, vel, key, nouter: int, ninner: int):
@@ -501,11 +517,14 @@ class Simulation:
                     return ((pos, vel, key),
                             (energies, jnp.max(counts, axis=0),
                              jnp.zeros((), jnp.int32),
+                             jnp.zeros(7, jnp.int32),
                              jnp.zeros(7, jnp.int32)))
                 pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
                 topo = None
                 build_counts = None
                 sib_max = jnp.zeros(7, jnp.int32)
+                wu_topo = None
+                wu_counts = jnp.zeros(7, jnp.int32)
                 if rebuild_topology:
                     from ..ops import tree as _T
                     gdr = a["gamma"] / roffset
@@ -519,20 +538,33 @@ class Simulation:
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
                     sib_max = bdiag["max_siblings"]
-                inner = make_step(ff=ff, pairs=(pi, pj, pv), topology=topo)
+                    if use_wu:
+                        # compacted WU topology for this window: the
+                        # ancestor closure of the vdW-live rows (~13% of
+                        # the build, ops/tree.py::compact_topology)
+                        lvl1v = _T.make_level1(pos, a["radii_vdw"],
+                                               a["vol_vdw"], -gdr,
+                                               a["ishydrogen"])
+                        wu_topo, wu_counts = _T.compact_topology(
+                            _T.rescan_volumes(topo, lvl1v), wu_caps,
+                            relax=wu_relax)
+                        wu_counts = wu_counts.astype(jnp.int32)
+                inner = make_step(ff=ff, pairs=(pi, pj, pv), topology=topo,
+                                  wu_topology=wu_topo)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     inner, (pos, vel, key), length=ninner,
                     unroll=min(scan_unroll, ninner))
                 maxcounts = jnp.max(counts, axis=0)
                 if build_counts is not None:
                     maxcounts = jnp.maximum(maxcounts, build_counts)
-                return (pos, vel, key), (energies, maxcounts, nbmax, sib_max)
+                return ((pos, vel, key),
+                        (energies, maxcounts, nbmax, sib_max, wu_counts))
 
-            (pos, vel, key), (energies, counts, nbmax, sibs) = \
+            (pos, vel, key), (energies, counts, nbmax, sibs, wu) = \
                 jax.lax.scan(outer, (pos, vel, key), length=nouter)
             return (pos, vel, key, energies.reshape(-1),
                     (jnp.max(counts, axis=0), jnp.max(nbmax),
-                     jnp.max(sibs, axis=0)))
+                     jnp.max(sibs, axis=0), jnp.max(wu, axis=0)))
 
         def run(pos, vel, key, nsteps: int):
             ff = self.ff_state() if mesh is None else self.ff_state(
@@ -579,7 +611,7 @@ class Simulation:
                            neighbor_every: int = 10,
                            rebuild_topology: bool = True,
                            mts_inner: int = 0, max_regrow: int = 3,
-                           scan_unroll: int = 4):
+                           scan_unroll: int = 4, wu_compact: bool = True):
         """Timed Langevin MD, reference-benchmark style. Returns dict with
         ns/day and the energy trace.  If a capacity overflow is detected
         (PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634) the caps
@@ -590,7 +622,8 @@ class Simulation:
                                             neighbor_every=neighbor_every,
                                             rebuild_topology=rebuild_topology,
                                             mts_inner=mts_inner,
-                                            scan_unroll=scan_unroll)
+                                            scan_unroll=scan_unroll,
+                                            wu_compact=wu_compact)
             key = jax.random.PRNGKey(seed)
             pos, vel = self.positions, self.velocities
             if warmup:
@@ -599,21 +632,22 @@ class Simulation:
                 out = run(pos, vel, key, nsteps)
                 np.asarray(out[0]).ravel()[0:1]  # full sync through the tunnel
             t0 = time.perf_counter()
-            pos, vel, key, energies, (counts, nbmax, sibs) = run(
+            pos, vel, key, energies, (counts, nbmax, sibs, *wu) = run(
                 pos, vel, key, nsteps)
+            wu = wu[0] if wu else None
             counts = np.asarray(counts)  # device sync
             elapsed = time.perf_counter() - t0
             ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
-            overflow = self._check_overflow(counts, nbmax, sibs)
+            overflow = self._check_overflow(counts, nbmax, sibs, wu)
             if not overflow or attempt == max_regrow:
                 break
-            self._regrow(counts, nbmax, sibs)
+            self._regrow(counts, nbmax, sibs, wu=wu)
         return dict(ns_day=ns_day, elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
                     final_pos=pos, final_vel=vel, tree_counts_max=counts,
                     neighbor_max=int(nbmax), overflow=overflow,
                     energies=np.asarray(energies))
 
-    def _check_overflow(self, counts, nbmax, sibs) -> bool:
+    def _check_overflow(self, counts, nbmax, sibs, wu=None) -> bool:
         if self.agbnp2 is not None:
             return self._check_overflow_v2(counts)
         caps = np.asarray(self.agbnp.caps.caps)
@@ -622,8 +656,13 @@ class Simulation:
         # (MAX_ORDER truncation, reference gaussvol.cpp:211), so only the
         # windows that actually generate children can overflow
         sib_over = (np.asarray(sibs)[: len(offs)] - 1) > offs
+        wu_over = False
+        if wu is not None and getattr(self, "_wu_caps", None) is not None:
+            # a WU kept-row count past its compact capacity means live rows
+            # were truncated out of the WU force pass: regrow
+            wu_over = (np.asarray(wu) > np.asarray(self._wu_caps[1])).any()
         return bool((np.asarray(counts) > caps).any() or sib_over.any()
-                    or int(nbmax) > self.kmax)
+                    or int(nbmax) > self.kmax or wu_over)
 
     def _check_overflow_v2(self, countsvec) -> bool:
         """AGBNP2 overflow test over the [17] diagnostics vector."""
@@ -673,7 +712,43 @@ class Simulation:
                                   ms_kmax=ms_kmax)
         self.agbnp = self.agbnp2
 
-    def _regrow(self, counts, nbmax, sibs, headroom: float = 1.3):
+    def _ensure_wu_caps(self, relax: float = 0.5, boost: float = 1.5):
+        """Static per-level capacities for the compacted WU topology
+        (ops/tree.py::compact_topology), sized from the kept-row counts of
+        one build+rescan on the current positions — the WU analogue of the
+        neighbor-list sizing pass.  Cached per relax value; _regrow updates
+        the cache on overflow."""
+        cached = getattr(self, "_wu_caps", None)
+        if cached is not None and cached[0] == relax:
+            return cached[1]
+        from ..ops import tree as _T
+        a = self.agbnp.arrays
+        caps = self.agbnp.caps
+        roffset = self.agbnp.params.roffset
+
+        @jax.jit
+        def counts_fn(pos):
+            pi, pj, pv, _ = self.neighbor_fn(pos, self.heavy_mask,
+                                             self.rcut_list, self.kmax)
+            gdr = a["gamma"] / roffset
+            lvl1 = _T.make_level1(pos, a["radii_large"], a["vol_large"],
+                                  gdr, a["ishydrogen"])
+            levels, _ = _T.build_tree(lvl1, pi, pj, caps, pairs_valid=pv,
+                                      pair_rows=True)
+            lvl1v = _T.make_level1(pos, a["radii_vdw"], a["vol_vdw"], -gdr,
+                                   a["ishydrogen"])
+            lv = _T.rescan_volumes(_T.tree_topology(levels), lvl1v)
+            # only the counts output is used; XLA dead-code-eliminates the
+            # compaction gathers themselves
+            return _T.compact_topology(lv, [l["valid"].shape[0] for l in lv],
+                                       relax=relax)[1]
+
+        c = np.asarray(counts_fn(self.positions))
+        wu = tuple(max(8, int(np.ceil(int(k) * boost / 8) * 8)) for k in c)
+        self._wu_caps = (relax, wu)
+        return wu
+
+    def _regrow(self, counts, nbmax, sibs, headroom: float = 1.3, wu=None):
         """PanicButton resize (reference OpenCLAGBNPKernels.cpp:340-343,
         3598-3634): rebuild the model with capacities covering the measured
         maxima plus headroom.  Compiled runners built before this call are
@@ -698,6 +773,13 @@ class Simulation:
         offs = tuple(max(o0, 2 * o0 if int(sb) - 1 > o0 else o0,
                          int(np.ceil(max(int(sb) - 1, 1) * headroom)))
                      for o0, sb in zip(old.offs, sibs[:-1]))
+        if wu is not None and getattr(self, "_wu_caps", None) is not None:
+            relax, old_wu = self._wu_caps
+            wu = np.asarray(wu)
+            new_wu = tuple(max(o, 2 * o if int(k) > o else o,
+                               max(8, int(np.ceil(int(k) * headroom / 8) * 8)))
+                           for o, k in zip(old_wu, wu))
+            self._wu_caps = (relax, new_wu)
         if int(nbmax) > self.kmax:
             if self.grid is not None:
                 # a cell-capacity overflow reports kmax+1 through this
@@ -779,16 +861,17 @@ class Simulation:
         while done < nsteps:
             # the runner splits any n into full windows + a remainder
             n = min(segment, nsteps - done)
-            new_pos, new_vel, new_key, e, (counts, nbmax, sibs) = \
+            new_pos, new_vel, new_key, e, (counts, nbmax, sibs, *wu) = \
                 run(pos, vel, key, n)
+            wu = wu[0] if wu else None
             counts = np.asarray(counts)  # sync
-            if self._check_overflow(counts, nbmax, sibs):
+            if self._check_overflow(counts, nbmax, sibs, wu):
                 if regrows >= max_regrow:
                     raise RuntimeError(
                         "overlap-tree capacities failed to converge after "
                         f"{max_regrow} regrows")
                 regrows += 1
-                self._regrow(counts, nbmax, sibs)
+                self._regrow(counts, nbmax, sibs, wu=wu)
                 run = self.make_langevin_runner(dt, temperature, friction,
                                                 neighbor_every=neighbor_every,
                                                 mts_inner=mts_inner)

@@ -292,7 +292,7 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
                   pair_interpret: bool = False, pair_rows: bool = False,
                   mm_nb=None, pair_shard=None, neighbor_grid=None,
-                  descreen_horizon=None):
+                  descreen_horizon=None, wu_topology=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -384,9 +384,20 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # and both carry unit weights, so one pass over gamma_W + gamma_U gives
     # the identical force sum at half the tree work.
     gamma_WU = (evdw_der_W + egb_der_U) / a["vol_vdw_all"]
-    lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
-    red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
-                           with_selfvol=False)
+    if wu_topology is not None:
+        # compacted WU pass (T.compact_topology): the ancestor closure of
+        # the vdW-live rows is ~13% of the topology and carries the entire
+        # WU force signal; one rescan_volumes over it recomputes volumes
+        # AND propagates the WU gammas (its packed chain includes gamma),
+        # replacing the full-size rescan_gammas + reduce
+        lvl1_WU = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"], gamma_WU,
+                                a["ishydrogen"])
+        red_WU = T.reduce_tree(T.rescan_volumes(wu_topology, lvl1_WU),
+                               lvl1_WU, with_selfvol=False)
+    else:
+        lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}
+        red_WU = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_WU), lvl1_WU,
+                               with_selfvol=False)
 
     energy = e_cav + gb_self + gb_pair_e + e_vdw
     force = f_cav + pair_force - red_WU["dr"]

@@ -609,6 +609,64 @@ def tree_topology(levels):
     return tuple(out)
 
 
+def compact_topology(levels, caps, relax: float = 0.5):
+    """Compact a (rescanned) tree to the ancestor closure of its live rows.
+
+    The WU gamma-rescan force pass (ReferenceAGBNPKernels.cpp:713-747) runs
+    on the vdW-radii parameterization of the build topology, where only
+    ~13% of rows have nonzero switched volume (measured,
+    benchmarks/micro_vdwlive.py); a row with zero switched volume — and no
+    live descendant — contributes exactly 0.0 to every reduction output
+    (its psi/F/P columns and deposits all carry the switch factor), so
+    dropping such rows is exact.  Keeping rows with raw volume >
+    VOLMINA*relax (relax < 1) adds a birth margin: rows just under the
+    switching threshold stay present so volume drift within an MD rebuild
+    window crosses the switch smoothly inside the compacted set, the same
+    error class as the window's topology staleness itself.
+
+    `levels` must carry the target parameterization's volumes (a
+    rescan_volumes result on the vdW level-1 data).  `caps` gives the
+    static per-level compact capacities.  Returns (topology, counts) where
+    topology is a tree_topology()-shaped tuple (parent indices remapped to
+    compact coordinates, monotone pmono boundaries preserved — stable
+    compaction of a parent-sorted level stays parent-sorted) usable
+    directly by rescan_volumes/rescan_gammas/reduce_tree, and counts[7] is
+    the pre-truncation kept-row count per level for overflow detection
+    (count > cap means live rows were dropped: regrow).
+    """
+    from ..models.constants import VOLMINA
+
+    keep = [l["valid"] & (l["gv"] > VOLMINA * relax) for l in levels]
+    # ancestor closure: a kept row's parent chain must stay so parent
+    # gathers and the downward gamma/volume chains remain intact (and so
+    # dropped subtrees are all-dead, which is what makes dropping exact)
+    for li in range(len(levels) - 1, 0, -1):
+        up = jax.ops.segment_max(
+            keep[li].astype(jnp.int32),
+            jnp.where(keep[li], levels[li]["parent"], 0),
+            num_segments=levels[li - 1]["valid"].shape[0])
+        keep[li - 1] = keep[li - 1] | ((up > 0) & levels[li - 1]["valid"])
+
+    counts = jnp.stack([jnp.sum(k) for k in keep])
+    out = []
+    prev_remap = None  # old parent index -> compact slot of previous level
+    for li, (lvl, kp) in enumerate(zip(levels, keep)):
+        cap = max(int(caps[li]), 8)
+        sel = jnp.nonzero(kp, size=cap, fill_value=0)[0]
+        valid = jnp.arange(cap) < jnp.minimum(counts[li], cap)
+        atom = jnp.where(valid, lvl["atom"][sel], 0)
+        parent = lvl["parent"][sel]
+        if prev_remap is not None:
+            parent = prev_remap[parent]
+        parent = jnp.where(valid, parent, 0)
+        out.append(dict(
+            _ints=jnp.stack([atom, parent], axis=1).astype(jnp.int32),
+            valid=valid, atom=atom, parent=parent,
+            bnd=dict(pmono=jax.lax.cummax(parent))))
+        prev_remap = jnp.cumsum(kp.astype(jnp.int32)) - 1
+    return tuple(out), counts
+
+
 def rescan_volumes(levels, level1, comm: TreeComm | None = None):
     """Recompute all node volumes/Gaussians on the fixed topology.
 

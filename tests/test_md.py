@@ -184,7 +184,7 @@ def test_mts_langevin_stable_2fs(trpcage_sim):
     sim = trpcage_sim
     key = jax.random.PRNGKey(1)
     run = sim.make_langevin_runner(dt=0.002, neighbor_every=5, mts_inner=2)
-    pos, vel, _, e, (counts, nbmax, sibs) = run(
+    pos, vel, _, e, (counts, nbmax, sibs, *_wu) = run(
         sim.positions, sim.velocities, key, 50)
     assert np.isfinite(np.asarray(e)).all()
     assert not sim._check_overflow(np.asarray(counts), nbmax, sibs)
