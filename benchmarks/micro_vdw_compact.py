@@ -1,6 +1,6 @@
 """A/B the compacted WU gamma-rescan pass (same process, consecutive runs).
 
-Usage: python benchmarks/micro_wu_compact.py [system ...] [--steps N]
+Usage: python benchmarks/micro_vdw_compact.py [system ...] [--steps N]
 """
 
 import os
@@ -35,9 +35,9 @@ def main():
         rows = []
         for wu in (False, True, False, True):
             res = sim.benchmark_langevin(nsteps=steps, neighbor_every=40,
-                                         wu_compact=wu)
+                                         vdw_compact=wu)
             rows.append((wu, res["ns_day"]))
-            print(f"{system} wu_compact={wu}: {res['ns_day']:.2f} ns/day "
+            print(f"{system} vdw_compact={wu}: {res['ns_day']:.2f} ns/day "
                   f"({res['elapsed_s'] * 1e3 / steps:.3f} ms/step)")
         off = np.mean([r[1] for r in rows if not r[0]])
         on = np.mean([r[1] for r in rows if r[0]])

@@ -131,7 +131,7 @@ class Simulation:
         return self.velocities
 
     def _agbnp_force(self, pos, pairs=None, topology=None,
-                     mm_nb=None, a=None, wu_topology=None):
+                     mm_nb=None, a=None, vdw_topology=None):
         a = self.agbnp.arrays if a is None else a
         if pairs is not None:
             a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
@@ -147,7 +147,7 @@ class Simulation:
                             pair_interpret=self.agbnp.pair_interpret,
                             mm_nb=mm_nb,
                             descreen_horizon=self.agbnp.descreen_horizon,
-                            wu_topology=wu_topology)
+                            vdw_topology=vdw_topology)
         energy = out["energy"]
         e_mm_nb = out["details"].get("e_mm_nb")
         if e_mm_nb is not None:
@@ -201,7 +201,7 @@ class Simulation:
         return self._sharded_fn
 
     def force_fn(self, pairs=None, topology=None, ff=None, mesh=None,
-                 split: bool = False, wu_topology=None):
+                 split: bool = False, vdw_topology=None):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
@@ -260,7 +260,7 @@ class Simulation:
             def agbnp_part(pos):
                 return self._agbnp_force(pos, pairs, topology,
                                          mm_nb=mm_nb, a=a,
-                                         wu_topology=wu_topology)
+                                         vdw_topology=vdw_topology)
 
         if split:
             def slow_fn(pos):
@@ -399,8 +399,8 @@ class Simulation:
                              rebuild_topology: bool = True,
                              topology_relax=None, mesh=None,
                              mts_inner: int = 0, scan_unroll: int = 4,
-                             wu_compact: bool = True,
-                             wu_relax: float = 0.5):
+                             vdw_compact: bool = True,
+                             vdw_relax: float = 0.5):
         """Returns run(pos, vel, key, nsteps) — a nested-scan Langevin loop.
 
         With mts_inner > 0, each step is a multiple-timestep (r-RESPA)
@@ -439,12 +439,13 @@ class Simulation:
         by the switching window and vanishes at each rebuild; set False for
         strict per-step reference semantics.
 
-        With wu_compact (version 1 with rebuild windows, the default), each
-        rebuild also extracts the ancestor closure of the vdW-live tree
-        rows (plus a wu_relax birth margin below the volume switch) and the
-        per-step WU gamma-rescan force pass runs on that compacted topology
-        — exact at the rebuild point (dropped subtrees contribute 0.0,
-        ops/tree.py::compact_topology) and ~13% of the full pass's rows.
+        With vdw_compact (versions 0/1 with rebuild windows, the default),
+        each rebuild also extracts the ancestor closure of the vdW-live
+        tree rows (plus a vdw_relax birth margin below the volume switch)
+        and the per-step vdW-channel passes — E_vol2 + self-volumes and the
+        WU gamma-rescan force pass — run on that compacted topology, exact
+        at the rebuild point (dropped subtrees contribute 0.0,
+        ops/tree.py::compact_topology) at ~13-19% of the full rows.
         """
         masses, rcut, kmax = self.masses, self.rcut_list, self.kmax
         heavy = self.heavy_mask
@@ -452,17 +453,17 @@ class Simulation:
 
         from .integrators import mts_langevin_step
 
-        def make_step(ff=None, pairs=None, topology=None, wu_topology=None):
+        def make_step(ff=None, pairs=None, topology=None, vdw_topology=None):
             if mts_inner:
                 slow, fast = self.force_fn(pairs=pairs, topology=topology,
                                            ff=ff, mesh=mesh, split=True,
-                                           wu_topology=wu_topology)
+                                           vdw_topology=vdw_topology)
                 return mts_langevin_step(slow, fast, masses, dt, temperature,
                                          friction, mts_inner,
                                          constraints=self.constraints)
             return langevin_middle_step(
                 self.force_fn(pairs=pairs, topology=topology, ff=ff,
-                              mesh=mesh, wu_topology=wu_topology),
+                              mesh=mesh, vdw_topology=vdw_topology),
                 masses, dt, temperature, friction,
                 constraints=self.constraints)
 
@@ -494,9 +495,9 @@ class Simulation:
 
         caps = self.agbnp.caps
         roffset = self.agbnp.params.roffset
-        use_wu = (wu_compact and rebuild_topology and mesh is None
-                  and self.agbnp2 is None and self.agbnp.version == 1)
-        wu_caps = self._ensure_wu_caps(wu_relax) if use_wu else None
+        use_vdwc = (vdw_compact and rebuild_topology and mesh is None
+                    and self.agbnp2 is None and self.agbnp.version in (0, 1))
+        vdw_caps = self._ensure_vdw_caps(vdw_relax) if use_vdwc else None
 
         @partial(jax.jit, static_argnames=("nouter", "ninner"))
         def run_ff(ff, pos, vel, key, nouter: int, ninner: int):
@@ -523,8 +524,8 @@ class Simulation:
                 topo = None
                 build_counts = None
                 sib_max = jnp.zeros(7, jnp.int32)
-                wu_topo = None
-                wu_counts = jnp.zeros(7, jnp.int32)
+                vdw_topo = None
+                vdw_counts = jnp.zeros(7, jnp.int32)
                 if rebuild_topology:
                     from ..ops import tree as _T
                     gdr = a["gamma"] / roffset
@@ -538,19 +539,20 @@ class Simulation:
                     topo = _T.tree_topology(levels)
                     build_counts = bdiag["counts"]
                     sib_max = bdiag["max_siblings"]
-                    if use_wu:
-                        # compacted WU topology for this window: the
-                        # ancestor closure of the vdW-live rows (~13% of
-                        # the build, ops/tree.py::compact_topology)
+                    if use_vdwc:
+                        # compacted vdW-channel topology for this window:
+                        # the ancestor closure of the vdW-live rows
+                        # (~13-19% of the build, tree.compact_topology);
+                        # serves E_vol2/self-volumes AND the WU force pass
                         lvl1v = _T.make_level1(pos, a["radii_vdw"],
                                                a["vol_vdw"], -gdr,
                                                a["ishydrogen"])
-                        wu_topo, wu_counts = _T.compact_topology(
-                            _T.rescan_volumes(topo, lvl1v), wu_caps,
-                            relax=wu_relax)
-                        wu_counts = wu_counts.astype(jnp.int32)
+                        vdw_topo, vdw_counts = _T.compact_topology(
+                            _T.rescan_volumes(topo, lvl1v), vdw_caps,
+                            relax=vdw_relax)
+                        vdw_counts = vdw_counts.astype(jnp.int32)
                 inner = make_step(ff=ff, pairs=(pi, pj, pv), topology=topo,
-                                  wu_topology=wu_topo)
+                                  vdw_topology=vdw_topo)
                 (pos, vel, key), (energies, counts) = jax.lax.scan(
                     inner, (pos, vel, key), length=ninner,
                     unroll=min(scan_unroll, ninner))
@@ -558,7 +560,7 @@ class Simulation:
                 if build_counts is not None:
                     maxcounts = jnp.maximum(maxcounts, build_counts)
                 return ((pos, vel, key),
-                        (energies, maxcounts, nbmax, sib_max, wu_counts))
+                        (energies, maxcounts, nbmax, sib_max, vdw_counts))
 
             (pos, vel, key), (energies, counts, nbmax, sibs, wu) = \
                 jax.lax.scan(outer, (pos, vel, key), length=nouter)
@@ -611,7 +613,7 @@ class Simulation:
                            neighbor_every: int = 10,
                            rebuild_topology: bool = True,
                            mts_inner: int = 0, max_regrow: int = 3,
-                           scan_unroll: int = 4, wu_compact: bool = True):
+                           scan_unroll: int = 4, vdw_compact: bool = True):
         """Timed Langevin MD, reference-benchmark style. Returns dict with
         ns/day and the energy trace.  If a capacity overflow is detected
         (PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634) the caps
@@ -623,7 +625,7 @@ class Simulation:
                                             rebuild_topology=rebuild_topology,
                                             mts_inner=mts_inner,
                                             scan_unroll=scan_unroll,
-                                            wu_compact=wu_compact)
+                                            vdw_compact=vdw_compact)
             key = jax.random.PRNGKey(seed)
             pos, vel = self.positions, self.velocities
             if warmup:
@@ -657,10 +659,10 @@ class Simulation:
         # windows that actually generate children can overflow
         sib_over = (np.asarray(sibs)[: len(offs)] - 1) > offs
         wu_over = False
-        if wu is not None and getattr(self, "_wu_caps", None) is not None:
+        if wu is not None and getattr(self, "_vdw_caps", None) is not None:
             # a WU kept-row count past its compact capacity means live rows
             # were truncated out of the WU force pass: regrow
-            wu_over = (np.asarray(wu) > np.asarray(self._wu_caps[1])).any()
+            wu_over = (np.asarray(wu) > np.asarray(self._vdw_caps[1])).any()
         return bool((np.asarray(counts) > caps).any() or sib_over.any()
                     or int(nbmax) > self.kmax or wu_over)
 
@@ -712,13 +714,13 @@ class Simulation:
                                   ms_kmax=ms_kmax)
         self.agbnp = self.agbnp2
 
-    def _ensure_wu_caps(self, relax: float = 0.5, boost: float = 1.5):
-        """Static per-level capacities for the compacted WU topology
-        (ops/tree.py::compact_topology), sized from the kept-row counts of
-        one build+rescan on the current positions — the WU analogue of the
-        neighbor-list sizing pass.  Cached per relax value; _regrow updates
-        the cache on overflow."""
-        cached = getattr(self, "_wu_caps", None)
+    def _ensure_vdw_caps(self, relax: float = 0.5, boost: float = 1.5):
+        """Static per-level capacities for the compacted vdW-channel
+        topology (ops/tree.py::compact_topology), sized from the kept-row
+        counts of one build+rescan on the current positions — the
+        compaction analogue of the neighbor-list sizing pass.  Cached per
+        relax value; _regrow updates the cache on overflow."""
+        cached = getattr(self, "_vdw_caps", None)
         if cached is not None and cached[0] == relax:
             return cached[1]
         from ..ops import tree as _T
@@ -745,7 +747,7 @@ class Simulation:
 
         c = np.asarray(counts_fn(self.positions))
         wu = tuple(max(8, int(np.ceil(int(k) * boost / 8) * 8)) for k in c)
-        self._wu_caps = (relax, wu)
+        self._vdw_caps = (relax, wu)
         return wu
 
     def _regrow(self, counts, nbmax, sibs, headroom: float = 1.3, wu=None):
@@ -773,13 +775,13 @@ class Simulation:
         offs = tuple(max(o0, 2 * o0 if int(sb) - 1 > o0 else o0,
                          int(np.ceil(max(int(sb) - 1, 1) * headroom)))
                      for o0, sb in zip(old.offs, sibs[:-1]))
-        if wu is not None and getattr(self, "_wu_caps", None) is not None:
-            relax, old_wu = self._wu_caps
+        if wu is not None and getattr(self, "_vdw_caps", None) is not None:
+            relax, old_wu = self._vdw_caps
             wu = np.asarray(wu)
             new_wu = tuple(max(o, 2 * o if int(k) > o else o,
                                max(8, int(np.ceil(int(k) * headroom / 8) * 8)))
                            for o, k in zip(old_wu, wu))
-            self._wu_caps = (relax, new_wu)
+            self._vdw_caps = (relax, new_wu)
         if int(nbmax) > self.kmax:
             if self.grid is not None:
                 # a cell-capacity overflow reports kmax+1 through this

@@ -149,7 +149,13 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
 
     With topology given (a T.tree_topology result from an earlier build),
     the build is replaced by a fixed-topology volume rescan — the fast MD
-    path between topology rebuilds.
+    path between topology rebuilds.  Both parameterizations always ride the
+    SAME fused sweep: the vdW channel widens the per-row gathers/scatters,
+    whose TPU cost is nearly channel-width-independent (sublane tiling), so
+    it is almost free here — splitting it onto the compacted vdW-live
+    topology was measured SLOWER (1li2 24.0 vs 26.6 ns/day; the two extra
+    per-level pass overheads outweigh the 6x row cut, benchmarks/RESULTS.md).
+
     Returns (e_cav, f_cav, self_volume, levels_vdw, lvl1_vdw, diag, red1,
     red2) where levels_vdw feeds the W/U gamma pass.
     """
@@ -292,7 +298,7 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
                   pair_interpret: bool = False, pair_rows: bool = False,
                   mm_nb=None, pair_shard=None, neighbor_grid=None,
-                  descreen_horizon=None, wu_topology=None):
+                  descreen_horizon=None, vdw_topology=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -384,15 +390,17 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # and both carry unit weights, so one pass over gamma_W + gamma_U gives
     # the identical force sum at half the tree work.
     gamma_WU = (evdw_der_W + egb_der_U) / a["vol_vdw_all"]
-    if wu_topology is not None:
-        # compacted WU pass (T.compact_topology): the ancestor closure of
-        # the vdW-live rows is ~13% of the topology and carries the entire
-        # WU force signal; one rescan_volumes over it recomputes volumes
-        # AND propagates the WU gammas (its packed chain includes gamma),
-        # replacing the full-size rescan_gammas + reduce
+    if vdw_topology is not None:
+        # compacted WU pass: vdw_topology is the ancestor closure of the
+        # vdW-live rows (T.compact_topology, ~13-19% of the topology) and
+        # carries the entire WU force signal; one rescan_volumes over it
+        # recomputes volumes AND propagates the WU gammas (its packed chain
+        # includes gamma), replacing the full-size rescan_gammas + reduce.
+        # (Routing the E_vol2/self-volume channel onto it too was measured
+        # SLOWER — see tree_passes' docstring.)
         lvl1_WU = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"], gamma_WU,
                                 a["ishydrogen"])
-        red_WU = T.reduce_tree(T.rescan_volumes(wu_topology, lvl1_WU),
+        red_WU = T.reduce_tree(T.rescan_volumes(vdw_topology, lvl1_WU),
                                lvl1_WU, with_selfvol=False)
     else:
         lvl1_WU = {**lvl1_vdw, "gamma1i": gamma_WU}

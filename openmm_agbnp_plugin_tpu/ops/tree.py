@@ -612,10 +612,13 @@ def tree_topology(levels):
 def compact_topology(levels, caps, relax: float = 0.5):
     """Compact a (rescanned) tree to the ancestor closure of its live rows.
 
-    The WU gamma-rescan force pass (ReferenceAGBNPKernels.cpp:713-747) runs
-    on the vdW-radii parameterization of the build topology, where only
-    ~13% of rows have nonzero switched volume (measured,
-    benchmarks/micro_vdwlive.py); a row with zero switched volume — and no
+    The vdW-channel tree passes — E_vol2 + self-volumes
+    (ReferenceAGBNPKernels.cpp:358-384) and the WU gamma-rescan force pass
+    (ReferenceAGBNPKernels.cpp:713-747) — run on the vdW-radii
+    parameterization of the build topology, where only ~13-19% of rows
+    have nonzero switched volume (measured, benchmarks/micro_vdwlive.py;
+    the large parameterization keeps ~100%, so only the vdW channel
+    compacts); a row with zero switched volume — and no
     live descendant — contributes exactly 0.0 to every reduction output
     (its psi/F/P columns and deposits all carry the switch factor), so
     dropping such rows is exact.  Keeping rows with raw volume >

@@ -50,7 +50,8 @@ class ReplicaEnsemble:
                             states)
 
     def make_runner(self, dt=0.001, temperature=300.0, friction=1.0,
-                    neighbor_every: int = 20, scan_unroll: int = 4):
+                    neighbor_every: int = 20, scan_unroll: int = 4,
+                    vdw_compact: bool = True, vdw_relax: float = 0.5):
         """run(states, nsteps) -> (states, energies [R, nsteps]).
 
         With neighbor_every > 0 each replica rebuilds its own neighbor list
@@ -58,7 +59,14 @@ class ReplicaEnsemble:
         fixed-topology volume rescan in between — the vmapped analogue of
         Simulation.make_langevin_runner's stale-topology window, which is
         what makes batched replicas pay roughly one replica's build cost
-        per window instead of one per step."""
+        per window instead of one per step.
+
+        With vdw_compact (the default, versions 0/1), each replica's
+        rebuild also extracts the compacted vdW-live topology
+        (ops/tree.py::compact_topology) and the per-step vdW-channel
+        passes run on it — the same ~35-45% step-time cut as the
+        single-system runner, vmapped; kept-row counts ride the diagnostics
+        for the PanicButton check."""
         sim = self.sim
 
         if neighbor_every <= 0:
@@ -71,7 +79,8 @@ class ReplicaEnsemble:
                     unroll=min(scan_unroll, nsteps))
                 return (pos, vel, key), (
                     energies, jnp.max(counts, axis=0),
-                    jnp.zeros((), jnp.int32), jnp.zeros(7, jnp.int32))
+                    jnp.zeros((), jnp.int32), jnp.zeros(7, jnp.int32),
+                    jnp.zeros(7, jnp.int32))
 
             vrun = jax.vmap(replica_run, in_axes=(None, 0, None))
 
@@ -90,18 +99,32 @@ class ReplicaEnsemble:
         heavy, rcut, kmax = sim.heavy_mask, sim.rcut_list, sim.kmax
         nbfn = sim.neighbor_fn
         roffset = sim.agbnp.params.roffset
+        use_vdwc = (vdw_compact and sim.agbnp2 is None
+                    and sim.agbnp.version in (0, 1))
+        vdw_caps = sim._ensure_vdw_caps(vdw_relax) if use_vdwc else None
 
         def outer(carry, _, ninner, ff):
             pos, vel, key = carry
             a = ff["a"]
             pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
+            gdr = a["gamma"] / roffset
             lvl1 = _T.make_level1(pos, a["radii_large"], a["vol_large"],
-                                  a["gamma"] / roffset, a["ishydrogen"])
+                                  gdr, a["ishydrogen"])
             levels, bdiag = _T.build_tree(lvl1, pi, pj, sim.agbnp.caps,
                                           pairs_valid=pv, pair_rows=True)
             topo = _T.tree_topology(levels)
+            vdw_topo = None
+            vdw_counts = jnp.zeros(7, jnp.int32)
+            if use_vdwc:
+                lvl1v = _T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
+                                       -gdr, a["ishydrogen"])
+                vdw_topo, vdw_counts = _T.compact_topology(
+                    _T.rescan_volumes(topo, lvl1v), vdw_caps,
+                    relax=vdw_relax)
+                vdw_counts = vdw_counts.astype(jnp.int32)
             inner = langevin_middle_step(
-                sim.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff),
+                sim.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff,
+                             vdw_topology=vdw_topo),
                 sim.masses, dt, temperature, friction,
                 constraints=sim.constraints)
             (pos, vel, key), (energies, counts) = jax.lax.scan(
@@ -111,13 +134,14 @@ class ReplicaEnsemble:
             # overflowing replica must not silently run with a truncated tree
             maxcounts = jnp.maximum(jnp.max(counts, axis=0), bdiag["counts"])
             return (pos, vel, key), (energies, maxcounts, nbmax,
-                                     bdiag["max_siblings"])
+                                     bdiag["max_siblings"], vdw_counts)
 
         def replica_run(ff, state, nouter, ninner):
-            state, (energies, counts, nbmax, sibs) = jax.lax.scan(
+            state, (energies, counts, nbmax, sibs, vdwc) = jax.lax.scan(
                 partial(outer, ninner=ninner, ff=ff), state, length=nouter)
             return state, (energies.reshape(-1), jnp.max(counts, axis=0),
-                           jnp.max(nbmax), jnp.max(sibs, axis=0))
+                           jnp.max(nbmax), jnp.max(sibs, axis=0),
+                           jnp.max(vdwc, axis=0))
 
         vrun = jax.vmap(replica_run, in_axes=(None, 0, None, None))
 
@@ -146,7 +170,8 @@ class ReplicaEnsemble:
             if len(outs) == 1:
                 return states, outs[0]
             e = jnp.concatenate([o[0] for o in outs], axis=1)
-            agg = [jnp.maximum(outs[0][i], outs[1][i]) for i in (1, 2, 3)]
+            agg = [jnp.maximum(outs[0][i], outs[1][i])
+                   for i in range(1, len(outs[0]))]
             return states, (e, *agg)
 
         return run
@@ -161,7 +186,7 @@ class ReplicaEnsemble:
         out = run(states, nsteps)
         np.asarray(out[1][0]).ravel()[:1]  # sync
         t0 = time.perf_counter()
-        states, (energies, counts, nbmax, sibs) = run(states, nsteps)
+        states, (energies, counts, nbmax, sibs, *vdwc) = run(states, nsteps)
         energies = np.asarray(energies)
         elapsed = time.perf_counter() - t0
         ns_day = nsteps * dt * 1e-3 / elapsed * 86400.0
@@ -169,7 +194,8 @@ class ReplicaEnsemble:
         # on device; here max over the replica axis)
         overflow = self.sim._check_overflow(
             np.asarray(counts).max(axis=0), int(np.asarray(nbmax).max()),
-            np.asarray(sibs).max(axis=0))
+            np.asarray(sibs).max(axis=0),
+            np.asarray(vdwc[0]).max(axis=0) if vdwc else None)
         return dict(ns_day_per_replica=ns_day,
                     replica_ns_day_aggregate=ns_day * self.n_replicas,
                     elapsed_s=elapsed, energies=energies, states=states,

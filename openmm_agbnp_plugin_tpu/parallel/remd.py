@@ -127,13 +127,15 @@ class TemperatureREMD:
         return states, xkey
 
     def make_runner(self, dt=0.001, friction=1.0, steps_per_cycle: int = 40,
-                    neighbor_every: int = 40, scan_unroll: int = 4):
+                    neighbor_every: int = 40, scan_unroll: int = 4,
+                    vdw_compact: bool = True, vdw_relax: float = 0.5):
         """run(states, xkey, ncycles) -> (states, xkey, out).
 
         out: dict with U [C, R] (potential at each exchange attempt),
         rung [C, R] (rung per replica after each cycle), accept [C, R]
         (per-rung accepted-swap indicator), energies [R, C*spc] (per-step
-        potentials), and the overflow diagnostics (counts, nbmax, sibs).
+        potentials), and the overflow diagnostics (counts, nbmax, sibs,
+        vdw_counts).
 
         Each cycle runs `steps_per_cycle` middle-Langevin steps per replica
         at its current rung temperature, rebuilding the neighbor list and
@@ -156,20 +158,35 @@ class TemperatureREMD:
         heavy, rcut, kmax = sim.heavy_mask, sim.rcut_list, sim.kmax
         nbfn = sim.neighbor_fn
         roffset = sim.agbnp.params.roffset
+        use_vdwc = (vdw_compact and sim.agbnp2 is None
+                    and sim.agbnp.version in (0, 1))
+        vdw_caps = sim._ensure_vdw_caps(vdw_relax) if use_vdwc else None
 
         def window(carry, _, ninner, temp, ff):
             """One stale-topology MD window for a single replica (matches
             ReplicaEnsemble.make_runner's outer): rebuild neighbors +
-            topology, scan `ninner` Langevin steps at `temp`."""
+            topology (plus the compacted vdW-channel topology when
+            vdw_compact), scan `ninner` Langevin steps at `temp`."""
             pos, vel, key = carry
             a = ff["a"]
             pi, pj, pv, nbmax = nbfn(pos, heavy, rcut, kmax)
+            gdr = a["gamma"] / roffset
             lvl1 = _T.make_level1(pos, a["radii_large"], a["vol_large"],
-                                  a["gamma"] / roffset, a["ishydrogen"])
+                                  gdr, a["ishydrogen"])
             levels, bdiag = _T.build_tree(lvl1, pi, pj, sim.agbnp.caps,
                                           pairs_valid=pv, pair_rows=True)
             topo = _T.tree_topology(levels)
-            ffn = sim.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff)
+            vdw_topo = None
+            vdw_counts = jnp.zeros(7, jnp.int32)
+            if use_vdwc:
+                lvl1v = _T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
+                                       -gdr, a["ishydrogen"])
+                vdw_topo, vdw_counts = _T.compact_topology(
+                    _T.rescan_volumes(topo, lvl1v), vdw_caps,
+                    relax=vdw_relax)
+                vdw_counts = vdw_counts.astype(jnp.int32)
+            ffn = sim.force_fn(pairs=(pi, pj, pv), topology=topo, ff=ff,
+                               vdw_topology=vdw_topo)
             inner = langevin_middle_step(ffn, sim.masses, dt, temp,
                                          friction,
                                          constraints=sim.constraints)
@@ -179,7 +196,8 @@ class TemperatureREMD:
             maxcounts = jnp.maximum(jnp.max(counts, axis=0),
                                     bdiag["counts"])
             return (pos, vel, key), (energies, maxcounts, nbmax,
-                                     bdiag["max_siblings"], ffn)
+                                     bdiag["max_siblings"], vdw_counts,
+                                     ffn)
 
         def replica_cycle(ff, temp, pos, vel, key):
             """steps_per_cycle steps for one replica at temperature `temp`;
@@ -189,18 +207,19 @@ class TemperatureREMD:
             outs = []
             if nwin:
                 def body(c, x):
-                    st, (e, mc, nb, sb, _) = window(c, x, ninner=ne,
-                                                    temp=temp, ff=ff)
-                    return st, (e, mc, nb, sb)
-                carry, (e, mc, nb, sb) = jax.lax.scan(body, carry,
-                                                      length=nwin)
+                    st, (e, mc, nb, sb, vc, _) = window(c, x, ninner=ne,
+                                                        temp=temp, ff=ff)
+                    return st, (e, mc, nb, sb, vc)
+                carry, (e, mc, nb, sb, vc) = jax.lax.scan(body, carry,
+                                                          length=nwin)
                 outs.append((e.reshape(-1), jnp.max(mc, axis=0),
-                             jnp.max(nb), jnp.max(sb, axis=0)))
+                             jnp.max(nb), jnp.max(sb, axis=0),
+                             jnp.max(vc, axis=0)))
                 ffn_last = None
             if rem:
-                carry, (e, mc, nb, sb, ffn_last) = window(
+                carry, (e, mc, nb, sb, vc, ffn_last) = window(
                     carry, None, ninner=rem, temp=temp, ff=ff)
-                outs.append((e, mc, nb, sb))
+                outs.append((e, mc, nb, sb, vc))
             else:
                 # no remainder window: build a fresh evaluation context at
                 # the final positions for the exchange energy
@@ -218,13 +237,15 @@ class TemperatureREMD:
                                         ff=ff)
                 outs.append((jnp.zeros((0,), outs[0][0].dtype)
                              if outs else jnp.zeros((0,), pos.dtype),
-                             bdiag["counts"], nbmax, bdiag["max_siblings"]))
+                             bdiag["counts"], nbmax, bdiag["max_siblings"],
+                             jnp.zeros(7, jnp.int32)))
             U = ffn_last(pos)[0]
             energies = jnp.concatenate([o[0] for o in outs])
             mc = jnp.max(jnp.stack([o[1] for o in outs]), axis=0)
             nb = jnp.max(jnp.stack([o[2] for o in outs]))
             sb = jnp.max(jnp.stack([o[3] for o in outs]), axis=0)
-            return pos, vel, key, energies, U, (mc, nb, sb)
+            vc = jnp.max(jnp.stack([o[4] for o in outs]), axis=0)
+            return pos, vel, key, energies, U, (mc, nb, sb, vc)
 
         vcycle = jax.vmap(replica_cycle, in_axes=(None, 0, 0, 0, 0))
 
@@ -246,15 +267,16 @@ class TemperatureREMD:
         def run_ff(ff, states, xkey, ncycles: int):
             pos, vel, keys, rung = states
             parities = jnp.arange(ncycles, dtype=jnp.int32) % 2
-            carry, (U, rungs, accept, energies, mc, nb, sb) = jax.lax.scan(
-                partial(cycle, ff=ff), (pos, vel, keys, rung, xkey),
-                parities)
+            carry, (U, rungs, accept, energies, mc, nb, sb, vc) = \
+                jax.lax.scan(partial(cycle, ff=ff),
+                             (pos, vel, keys, rung, xkey), parities)
             pos, vel, keys, rung, xkey = carry
             out = dict(U=U, rung=rungs, accept=accept,
                        energies=jnp.swapaxes(energies, 0, 1).reshape(R, -1),
                        counts=jnp.max(mc, axis=(0, 1)),
                        nbmax=jnp.max(nb),
-                       sibs=jnp.max(sb, axis=(0, 1)))
+                       sibs=jnp.max(sb, axis=(0, 1)),
+                       vdw_counts=jnp.max(vc, axis=(0, 1)))
             return (pos, vel, keys, rung), xkey, out
 
         def run(states, xkey, ncycles: int):
@@ -283,7 +305,8 @@ class TemperatureREMD:
         elapsed = time.perf_counter() - t0
         if self.sim._check_overflow(np.asarray(out["counts"]),
                                     int(out["nbmax"]),
-                                    np.asarray(out["sibs"])):
+                                    np.asarray(out["sibs"]),
+                                    np.asarray(out["vdw_counts"])):
             raise RuntimeError(
                 "tree/neighbor capacity overflow during REMD; regrow "
                 "Simulation capacities (caps_boost) and rerun")

@@ -127,7 +127,7 @@ def test_replica_ensemble_md(tiny_sim):
     # remainder window of 1 (the runner splits it, no API restriction)
     run = ens.make_runner(dt=0.001, neighbor_every=2)
     states = ens.initial_states(jitter=1e-4)
-    states, (energies, counts, nbmax, sibs) = run(states, 5)
+    states, (energies, counts, nbmax, sibs, *vdwc) = run(states, 5)
     energies = np.asarray(energies)
     assert energies.shape == (8, 5)
     assert np.isfinite(energies).all()
@@ -136,7 +136,8 @@ def test_replica_ensemble_md(tiny_sim):
     # overflow diagnostics ride the run: no replica overflowed here
     assert not tiny_sim._check_overflow(
         np.asarray(counts).max(axis=0), int(np.asarray(nbmax).max()),
-        np.asarray(sibs).max(axis=0))
+        np.asarray(sibs).max(axis=0),
+        np.asarray(vdwc[0]).max(axis=0) if vdwc else None)
 
 
 @pytest.mark.slow

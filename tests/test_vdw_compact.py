@@ -1,11 +1,13 @@
-"""Compacted WU gamma-rescan pass (ops/tree.py::compact_topology).
+"""Compacted vdW-channel tree passes (ops/tree.py::compact_topology).
 
-The WU self-volume-gradient force pass (the two gamma rescans of
-ReferenceAGBNPKernels.cpp:713-747) runs on the vdW parameterization of the
-build topology, where only ~13% of rows carry nonzero switched volume; the
-compacted pass keeps the ancestor closure of those rows and must reproduce
-the full pass exactly at the compaction point (dropped subtrees are
-all-dead and contribute exact 0.0 to every reduction channel).
+The vdW-parameterization tree passes — E_vol2 + self-volumes
+(ReferenceAGBNPKernels.cpp:358-384) and the WU self-volume-gradient force
+pass (the two gamma rescans of ReferenceAGBNPKernels.cpp:713-747) — run on
+the vdW parameterization of the build topology, where only ~13-19% of rows
+carry nonzero switched volume; the compacted passes keep the ancestor
+closure of those rows and must reproduce the full passes exactly at the
+compaction point (dropped subtrees are all-dead and contribute exact 0.0
+to every reduction channel).
 """
 
 import os
@@ -112,8 +114,36 @@ def test_compact_truncation_detected(built_vdw):
         assert int(np.asarray(t["valid"]).sum()) <= 8
 
 
+def test_energy_forces_compact_exact(built_vdw):
+    """energy_forces with vdw_topology reproduces the full fixed-topology
+    evaluation at the compaction point: identical energy and forces to
+    float64 roundoff (the compacted pass only reroutes the WU force term,
+    whose dropped rows contribute exact zeros)."""
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import energy_forces
+
+    a, params, pos, lvl1_vdw, levels_vdw = built_vdw
+    topo = T.tree_topology(levels_vdw)
+    caps_full = [l["valid"].shape[0] for l in levels_vdw]
+    topo_c, _ = T.compact_topology(levels_vdw, caps_full, relax=0.5)
+
+    caps = T.TreeCaps.for_natoms(params.n, boost=1.5)
+    ntj = int(np.max(np.asarray(a["type_j"])) + 1)
+    full = energy_forces(a, pos, caps=caps, version=1,
+                         roffset=params.roffset, ntypes_j=ntj,
+                         topology=topo)
+    comp = energy_forces(a, pos, caps=caps, version=1,
+                         roffset=params.roffset, ntypes_j=ntj,
+                         topology=topo, vdw_topology=topo_c)
+
+    np.testing.assert_allclose(float(comp["energy"]), float(full["energy"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(comp["force"]),
+                               np.asarray(full["force"]),
+                               rtol=1e-9, atol=1e-10)
+
+
 @pytest.mark.slow
-def test_md_wu_compact_matches_full(tmp_path):
+def test_md_vdw_compact_matches_full(tmp_path):
     """Short MD windows: the compacted-WU trajectory matches the
     full-WU-pass trajectory (dropped rows stay dead over a short window)."""
     from openmm_agbnp_plugin_tpu.io.dms import load_dms
@@ -123,9 +153,9 @@ def test_md_wu_compact_matches_full(tmp_path):
     sim = Simulation(dms, version=1, dtype=np.float64)
     key = jax.random.PRNGKey(3)
 
-    run_full = sim.make_langevin_runner(neighbor_every=10, wu_compact=False)
+    run_full = sim.make_langevin_runner(neighbor_every=10, vdw_compact=False)
     p1, v1, _, e1, d1 = run_full(sim.positions, sim.velocities, key, 20)
-    run_c = sim.make_langevin_runner(neighbor_every=10, wu_compact=True)
+    run_c = sim.make_langevin_runner(neighbor_every=10, vdw_compact=True)
     p2, v2, _, e2, (counts, nbmax, sibs, wu) = run_c(
         sim.positions, sim.velocities, key, 20)
 
@@ -146,12 +176,12 @@ def test_wu_regrow_updates_caps(tmp_path):
 
     dms = load_dms(os.path.join(DATA, "trpcage_agbnp1.dms"))
     sim = Simulation(dms, version=1, dtype=np.float64)
-    sim._wu_caps = (0.5, (8,) * 7)
+    sim._vdw_caps = (0.5, (8,) * 7)
     counts = np.zeros(7, np.int32)
     sibs = np.zeros(7, np.int32)
     wu = np.array([100, 50, 8, 8, 8, 8, 8], np.int32)
     assert sim._check_overflow(counts, 0, sibs, wu)
     sim._regrow(counts, 0, sibs, wu=wu)
-    new = sim._wu_caps[1]
+    new = sim._vdw_caps[1]
     assert new[0] >= 104 and new[1] >= 56 and new[2] >= 8
     assert not sim._check_overflow(counts, 0, sibs, wu)
