@@ -25,7 +25,11 @@ def fit_system(fixture_dir):
     return model, pos[:n]
 
 
-@pytest.mark.parametrize("key", ["gamma", "alpha", "charge"])
+@pytest.mark.parametrize("key", [
+    "gamma",
+    pytest.param("alpha", marks=pytest.mark.slow),
+    pytest.param("charge", marks=pytest.mark.slow),
+])
 def test_param_grads_match_fd(fit_system, key):
     """Reverse-mode d(energy)/d(theta) equals central finite differences
     along a random direction, per pose."""

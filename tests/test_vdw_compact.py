@@ -23,24 +23,55 @@ from openmm_agbnp_plugin_tpu.ops import tree as T
 DATA = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "data")
 
 
-@pytest.fixture(scope="module")
-def built_vdw(gaussvol_system):
-    """Full build on the 264-atom fixture + vdW rescan levels."""
+def _tiny_lattice_system():
+    """Dense 64-atom jittered lattice: multi-level tree, mixed live/dead
+    vdW rows, seconds to build on one CPU core (the 264-atom fixture takes
+    ~a minute and runs as the slow parametrization below)."""
+    from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+
+    rng = np.random.default_rng(11)
+    g = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)
+    pos = 0.28 * g + 0.03 * rng.standard_normal((64, 3))
+    ish = (np.arange(64) % 3 == 2).astype(np.int64)
+    radius = np.where(ish > 0, 0.12, 0.16)
+    gamma = np.where(ish > 0, 0.0, 48.9528)
+    alpha = np.where(ish > 0, -20.0, -60.0)
+    charge = rng.uniform(-0.3, 0.3, size=64)
+    return AGBNPParams(radius=radius, gamma=gamma, alpha=alpha,
+                       charge=charge, ishydrogen=ish), pos
+
+
+@pytest.fixture(scope="module",
+                params=["tiny64",
+                        pytest.param("gaussvol264",
+                                     marks=pytest.mark.slow)])
+def built_vdw(request):
+    """Full build + vdW rescan levels (tiny lattice by default; the
+    264-atom reference fixture in the slow run)."""
     from openmm_agbnp_plugin_tpu.models.agbnp_jax import prepare_arrays
 
-    params, pos = gaussvol_system
+    if request.param == "tiny64":
+        params, pos = _tiny_lattice_system()
+    else:
+        params, pos = request.getfixturevalue("gaussvol_system")
     a = prepare_arrays(params)
     pos = jnp.asarray(pos, jnp.float64)
-    gdr = jnp.asarray(a["gamma"] / params.roffset)
-    ish = jnp.asarray(a["ishydrogen"])
-    lvl1 = T.make_level1(pos, jnp.asarray(a["radii_large"]),
-                         jnp.asarray(a["vol_large"]), gdr, ish)
     caps = T.TreeCaps.for_natoms(params.n, boost=1.5)
-    levels, _ = T.build_tree(lvl1, jnp.asarray(a["pairs_i"]),
-                             jnp.asarray(a["pairs_j"]), caps)
-    lvl1_vdw = T.make_level1(pos, jnp.asarray(a["radii_vdw"]),
-                             jnp.asarray(a["vol_vdw"]), -gdr, ish)
-    levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
+
+    @jax.jit
+    def build(pos):
+        gdr = jnp.asarray(a["gamma"] / params.roffset)
+        ish = jnp.asarray(a["ishydrogen"])
+        lvl1 = T.make_level1(pos, jnp.asarray(a["radii_large"]),
+                             jnp.asarray(a["vol_large"]), gdr, ish)
+        levels, _ = T.build_tree(lvl1, jnp.asarray(a["pairs_i"]),
+                                 jnp.asarray(a["pairs_j"]), caps)
+        lvl1_vdw = T.make_level1(pos, jnp.asarray(a["radii_vdw"]),
+                                 jnp.asarray(a["vol_vdw"]), -gdr, ish)
+        return lvl1_vdw, T.rescan_volumes(levels, lvl1_vdw)
+
+    lvl1_vdw, levels_vdw = build(pos)
     return a, params, pos, lvl1_vdw, levels_vdw
 
 
@@ -84,18 +115,23 @@ def test_compact_wu_reduce_exact(built_vdw):
     rng = np.random.default_rng(7)
     gamma_WU = jnp.asarray(rng.normal(size=params.n))
 
-    # full-topology pass as in models/agbnp_jax.py::energy_forces
-    lvl1_full = {**lvl1_vdw, "gamma1i": gamma_WU}
-    red_full = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_full),
-                             lvl1_full, with_selfvol=False)
-
     caps = [l["valid"].shape[0] for l in levels_vdw]
-    topo_c, _ = T.compact_topology(levels_vdw, caps, relax=0.5)
-    lvl1_WU = T.make_level1(pos, jnp.asarray(a["radii_vdw"]),
-                            jnp.asarray(a["vol_vdw"]), gamma_WU,
-                            jnp.asarray(a["ishydrogen"]))
-    red_c = T.reduce_tree(T.rescan_volumes(topo_c, lvl1_WU), lvl1_WU,
-                          with_selfvol=False)
+
+    @jax.jit
+    def both(gamma_WU):
+        # full-topology pass as in models/agbnp_jax.py::energy_forces
+        lvl1_full = {**lvl1_vdw, "gamma1i": gamma_WU}
+        red_full = T.reduce_tree(T.rescan_gammas(levels_vdw, lvl1_full),
+                                 lvl1_full, with_selfvol=False)
+        topo_c, _ = T.compact_topology(levels_vdw, caps, relax=0.5)
+        lvl1_WU = T.make_level1(pos, jnp.asarray(a["radii_vdw"]),
+                                jnp.asarray(a["vol_vdw"]), gamma_WU,
+                                jnp.asarray(a["ishydrogen"]))
+        red_c = T.reduce_tree(T.rescan_volumes(topo_c, lvl1_WU), lvl1_WU,
+                              with_selfvol=False)
+        return red_full, red_c
+
+    red_full, red_c = both(gamma_WU)
 
     np.testing.assert_allclose(np.asarray(red_c["dr"]),
                                np.asarray(red_full["dr"]),
@@ -124,16 +160,17 @@ def test_energy_forces_compact_exact(built_vdw):
     a, params, pos, lvl1_vdw, levels_vdw = built_vdw
     topo = T.tree_topology(levels_vdw)
     caps_full = [l["valid"].shape[0] for l in levels_vdw]
-    topo_c, _ = T.compact_topology(levels_vdw, caps_full, relax=0.5)
+    topo_c, _ = jax.jit(
+        lambda ls: T.compact_topology(ls, caps_full, relax=0.5))(levels_vdw)
 
     caps = T.TreeCaps.for_natoms(params.n, boost=1.5)
     ntj = int(np.max(np.asarray(a["type_j"])) + 1)
-    full = energy_forces(a, pos, caps=caps, version=1,
-                         roffset=params.roffset, ntypes_j=ntj,
-                         topology=topo)
-    comp = energy_forces(a, pos, caps=caps, version=1,
-                         roffset=params.roffset, ntypes_j=ntj,
-                         topology=topo, vdw_topology=topo_c)
+    from functools import partial
+    ef = jax.jit(partial(energy_forces, caps=caps, version=1,
+                         roffset=params.roffset, ntypes_j=ntj),
+                 static_argnames=())
+    full = ef(a, pos, topology=topo)
+    comp = ef(a, pos, topology=topo, vdw_topology=topo_c)
 
     np.testing.assert_allclose(float(comp["energy"]), float(full["energy"]),
                                rtol=1e-12)
