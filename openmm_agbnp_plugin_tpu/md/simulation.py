@@ -53,7 +53,7 @@ class Simulation:
                  kmax: int | None = None, vsites=None, mixed: bool = False,
                  pair_kernel: bool | None = None,
                  caps_boost: float = 1.10, constraints: bool = False,
-                 descreen_horizon=None):
+                 descreen_horizon=None, pair_tiles=None):
         self.dms = dms
         self.dtype = dtype
         self.version = version
@@ -88,7 +88,8 @@ class Simulation:
                                     positions=dms.positions, mixed=mixed,
                                     pair_kernel=pair_kernel,
                                     caps_boost=caps_boost,
-                                    descreen_horizon=descreen_horizon)
+                                    descreen_horizon=descreen_horizon,
+                                    pair_tiles=pair_tiles)
         self.mm = MMForceField.from_dms(dms, cutoff=cutoff, dtype=dtype) \
             if include_mm else None
         self.masses = jnp.asarray(dms.masses, dtype)
@@ -147,12 +148,19 @@ class Simulation:
                             pair_interpret=self.agbnp.pair_interpret,
                             mm_nb=mm_nb,
                             descreen_horizon=self.agbnp.descreen_horizon,
-                            vdw_topology=vdw_topology)
+                            vdw_topology=vdw_topology,
+                            pair_tiles=self.agbnp.pair_tiles)
         energy = out["energy"]
         e_mm_nb = out["details"].get("e_mm_nb")
         if e_mm_nb is not None:
             energy = energy + e_mm_nb
-        return energy, out["force"], out["diag"]["counts"]
+        counts = out["diag"]["counts"].astype(jnp.int32)
+        ptc = out["diag"].get("pair_tile_counts")
+        if ptc is not None:
+            # interacting-tile-list in-range counts ride the same overflow
+            # channel as the tree-level counts (stripped in _check_overflow)
+            counts = jnp.concatenate([counts, ptc.astype(jnp.int32)])
+        return energy, out["force"], counts
 
     def ff_state(self, fuse_mm: bool | None = None):
         """The force-field parameter pytree the MD runners take as a jit
@@ -558,7 +566,8 @@ class Simulation:
                     unroll=min(scan_unroll, ninner))
                 maxcounts = jnp.max(counts, axis=0)
                 if build_counts is not None:
-                    maxcounts = jnp.maximum(maxcounts, build_counts)
+                    from ..ops.tree import merge_counts
+                    maxcounts = merge_counts(maxcounts, build_counts)
                 return ((pos, vel, key),
                         (energies, maxcounts, nbmax, sib_max, vdw_counts))
 
@@ -663,8 +672,15 @@ class Simulation:
             # a WU kept-row count past its compact capacity means live rows
             # were truncated out of the WU force pass: regrow
             wu_over = (np.asarray(wu) > np.asarray(self._vdw_caps[1])).any()
-        return bool((np.asarray(counts) > caps).any() or sib_over.any()
-                    or int(nbmax) > self.kmax or wu_over)
+        counts = np.asarray(counts)
+        tiles_over = False
+        if counts.shape[0] > len(caps) and self.agbnp.pair_tiles is not None:
+            # trailing entries: interacting-tile-list in-range counts
+            cb, cg = counts[len(caps):len(caps) + 2]
+            lb, lg = self.agbnp.pair_tiles
+            tiles_over = bool(cb > lb or (lg is not None and cg > lg))
+        return bool((counts[:len(caps)] > caps).any() or sib_over.any()
+                    or int(nbmax) > self.kmax or wu_over or tiles_over)
 
     def _check_overflow_v2(self, countsvec) -> bool:
         """AGBNP2 overflow test over the [17] diagnostics vector."""
@@ -768,9 +784,14 @@ class Simulation:
         # underestimate deeper levels: overflowed levels at least double
         # (the reference's tree_size_boost x2) for geometric convergence
         counts = np.asarray(counts)
+        # trailing interacting-tile-list counts (when present): grow the
+        # model's budgets before the rebuild below copies them over
+        if (counts.shape[0] > len(old.caps)
+                and self.agbnp.pair_tiles is not None):
+            self.agbnp.grow_pair_tiles(counts[len(old.caps):len(old.caps)+2])
         caps = tuple(max(c0, 2 * c0 if int(c) > c0 else c0,
                          r(int(c) * headroom))
-                     for c0, c in zip(old.caps, counts))
+                     for c0, c in zip(old.caps, counts[:len(old.caps)]))
         sibs = np.asarray(sibs)
         offs = tuple(max(o0, 2 * o0 if int(sb) - 1 > o0 else o0,
                          int(np.ceil(max(int(sb) - 1, 1) * headroom)))
@@ -795,7 +816,10 @@ class Simulation:
                                 version=m.version, cutoff=m.cutoff,
                                 dtype=self.dtype, mixed=m.mixed,
                                 positions=np.asarray(self.dms.positions),
-                                pair_kernel=m.pair_kernel)
+                                pair_kernel=m.pair_kernel,
+                                descreen_horizon=m.descreen_horizon,
+                                pair_tiles=(m.pair_tiles if m.pair_tiles
+                                            is not None else False))
 
     def run_md(self, nsteps, dt=0.001, temperature=300.0, friction=1.0,
                seed=0, neighbor_every: int = 20, segment: int | None = None,

@@ -191,7 +191,8 @@ def tree_passes(a: dict, pos, caps: T.TreeCaps, roffset: float,
 
 
 def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
-                        pair_interpret: bool, horizon=None):
+                        pair_interpret: bool, horizon=None,
+                        pair_tiles=None):
     """Born/GB/descreening pair phases via the fused Pallas tile kernels
     (ops/pallas/pairs.py), replacing ops/born.py's dense [N, N] HBM
     formulation.  Returns the same quantities the XLA path produces.
@@ -200,7 +201,15 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
     fixed at init) so tiles are spatially local on both axes and the
     out-of-range tile skips fire; the born/descreening screener axis is
     packed to heavy atoms only.  Row outputs are gathered back to atom
-    order at the end."""
+    order at the end.
+
+    pair_tiles: optional (lmax_born, lmax_gb) static budgets.  When given,
+    the sweeps launch over compacted interacting-tile lists (built per
+    evaluation from the tiles' AABBs — the reference's neighbor-tile
+    rebind, OpenCLAGBNPKernels.cpp:3521-3530) instead of the full tile
+    grid; lmax_gb None keeps the GB sweep dense (NoCutoff mode has no
+    distance bound).  The in-range tile counts ride the output dict
+    ("tile_counts") for the PanicButton budget check."""
     from ..ops.pallas import pairs as PK
 
     n = pos.shape[0]
@@ -232,18 +241,44 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
     nhpad = int(a["hids_pad"].shape[0])
     save_qd = pair_pad * nhpad * 8 <= (1 << 30)
 
+    heff = float(PK.AGBNP_I4LOOKUP_MAXA if horizon is None
+                 else min(horizon, PK.AGBNP_I4LOOKUP_MAXA))
+
     def run(s_factor, mm_nb=None):
         s_h = hpack(s_factor)
-        born_out = PK.born_sums(pos_pad, pos_hpad, hids_k, a["rowY_pad"],
-                                a["cols_oh_hpad"], s_h,
-                                n, tile, box=boxv, interpret=pair_interpret,
-                                horizon=horizon, save_qd=save_qd)
-        qd = None
-        if save_qd:
-            raw, q_t, dq_t = born_out
-            qd = (q_t, dq_t)
+        tile_counts = None
+        if pair_tiles is not None:
+            lb, lg = pair_tiles
+            rvalid = jnp.arange(pair_pad) < n
+            c_r, r_r = PK.tile_bounds(pos_pad, rvalid, tile)
+            c_h, r_h = PK.tile_bounds(pos_hpad, hvalid, tile)
+            tl_b, nv_b, cnt_b = PK.build_tile_list(c_r, r_r, c_h, r_h,
+                                                   heff, lb, box=boxv)
+            cnt_g = jnp.zeros((), jnp.int32)
+            if lg is not None:
+                tl_g, nv_g, cnt_g = PK.build_tile_list(
+                    c_r, r_r, c_r, r_r, float(cutoff), lg,
+                    triangular=True, box=boxv)
+            tile_counts = jnp.stack([cnt_b, cnt_g])
+        if tile_counts is not None:
+            raw = PK.born_sums_tiles(nv_b, tl_b, pos_pad, pos_hpad, hids_k,
+                                     a["rowY_pad"], a["cols_oh_hpad"], s_h,
+                                     n, tile, box=boxv,
+                                     interpret=pair_interpret,
+                                     horizon=horizon)
+            qd = None
         else:
-            raw = born_out
+            born_out = PK.born_sums(pos_pad, pos_hpad, hids_k,
+                                    a["rowY_pad"], a["cols_oh_hpad"], s_h,
+                                    n, tile, box=boxv,
+                                    interpret=pair_interpret,
+                                    horizon=horizon, save_qd=save_qd)
+            qd = None
+            if save_qd:
+                raw, q_t, dq_t = born_out
+                qd = (q_t, dq_t)
+            else:
+                raw = born_out
         from ..models.constants import PIFAC
         # perm-space per-atom chain: Born radii, GB self, vdW dispersion
         beta = 1.0 / a["radii_vdw_perm"] - PIFAC * raw[:n]
@@ -258,13 +293,21 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
             excl_pad = jnp.pad(mm_nb["excl_rows_perm"],
                                ((0, pair_pad - n), (0, 0)),
                                constant_values=-1)
-        erow, yrow, gbf, mmrow = PK.gb_pair(pos_pad, a["charge_pad"],
-                                            padv(br_p),
-                                            n, tile, box=boxv, cutoff=cutoff,
-                                            sig_pad=sig_pad,
-                                            epsq_pad=epsq_pad,
-                                            excl_rows_pad=excl_pad,
-                                            interpret=pair_interpret)
+        if tile_counts is not None and pair_tiles[1] is not None:
+            erow, yrow, gbf, mmrow = PK.gb_pair_tiles(
+                nv_g, tl_g, pos_pad, a["charge_pad"], padv(br_p), n, tile,
+                box=boxv, cutoff=cutoff, sig_pad=sig_pad,
+                epsq_pad=epsq_pad, excl_rows_pad=excl_pad,
+                interpret=pair_interpret)
+        else:
+            erow, yrow, gbf, mmrow = PK.gb_pair(pos_pad, a["charge_pad"],
+                                                padv(br_p),
+                                                n, tile, box=boxv,
+                                                cutoff=cutoff,
+                                                sig_pad=sig_pad,
+                                                epsq_pad=epsq_pad,
+                                                excl_rows_pad=excl_pad,
+                                                interpret=pair_interpret)
         from ..models.constants import DIELECTRIC_FACTOR
         gb_self = jnp.sum(DIELECTRIC_FACTOR * charge_p * charge_p / br_p)
         gb_pair_e = jnp.sum(erow[:n])
@@ -273,10 +316,17 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
 
         evdw_der_brw, egb_der_bru = B.born_chain_factors(
             a["alpha_perm"], charge_p, br_p, fp, egb_der_Y)
-        w_h, u_h, swf_r, swf_c = PK.descreening(
-            pos_pad, pos_hpad, hids_k, a["rowY_pad"], a["cols_oh_hpad"],
-            s_h, padv(evdw_der_brw), padv(egb_der_bru), n, tile, box=boxv,
-            interpret=pair_interpret, horizon=horizon, qd=qd)
+        if tile_counts is not None:
+            w_h, u_h, swf_r, swf_c = PK.descreening_tiles(
+                nv_b, tl_b, pos_pad, pos_hpad, hids_k, a["rowY_pad"],
+                a["cols_oh_hpad"], s_h, padv(evdw_der_brw),
+                padv(egb_der_bru), n, tile, box=boxv,
+                interpret=pair_interpret, horizon=horizon)
+        else:
+            w_h, u_h, swf_r, swf_c = PK.descreening(
+                pos_pad, pos_hpad, hids_k, a["rowY_pad"], a["cols_oh_hpad"],
+                s_h, padv(evdw_der_brw), padv(egb_der_bru), n, tile,
+                box=boxv, interpret=pair_interpret, horizon=horizon, qd=qd)
         swf_cols = jnp.zeros((n, 3), swf_c.dtype).at[hclip].add(
             jnp.where(hvalid[:, None], swf_c, 0.0))
         # back to atom order: row-side force and Born radii
@@ -287,6 +337,8 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
                    evdw_der_W=hscatter(w_h), egb_der_U=hscatter(u_h))
         if mm_nb is not None:
             out["e_mm_nb"] = 0.5 * jnp.sum(mmrow[:n])
+        if tile_counts is not None:
+            out["tile_counts"] = tile_counts
         return out
 
     return run
@@ -298,7 +350,8 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   neighbor_kmax: int = 0, box=None, pair_pad: int = 0,
                   pair_interpret: bool = False, pair_rows: bool = False,
                   mm_nb=None, pair_shard=None, neighbor_grid=None,
-                  descreen_horizon=None, vdw_topology=None):
+                  descreen_horizon=None, vdw_topology=None,
+                  pair_tiles=None):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -348,13 +401,20 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     if pair_pad > 0:
         pp = _pair_phases_pallas(a, pos, cutoff, box, pair_pad,
                                  pair_interpret,
-                                 horizon=descreen_horizon)(s_factor,
-                                                           mm_nb=mm_nb)
+                                 horizon=descreen_horizon,
+                                 pair_tiles=pair_tiles)(s_factor,
+                                                        mm_nb=mm_nb)
         gb_self, gb_pair_e, e_vdw = pp["gb_self"], pp["gb_pair"], pp["e_vdw"]
         br = pp["born_radius"]
         pair_force = pp["pair_force"]
         evdw_der_W, egb_der_U = pp["evdw_der_W"], pp["egb_der_U"]
         e_mm_nb = pp.get("e_mm_nb")
+        if "tile_counts" in pp:
+            diag = {**diag, "pair_tile_counts": pp["tile_counts"],
+                    "pair_tile_budgets": np.asarray(
+                        [pair_tiles[0],
+                         -1 if pair_tiles[1] is None else pair_tiles[1]],
+                        np.int32)}
     elif pair_shard is not None:
         # multi-chip: the pair phases row-sharded over the atoms mesh axis
         # (parallel/sharding.py::sharded_pair_phases)
@@ -440,7 +500,8 @@ class AGBNPModel:
                  dtype=np.float64, pairs=None, positions=None,
                  mixed: bool = False, box=None,
                  pair_kernel: bool | None = None,
-                 caps_boost: float = 1.6, descreen_horizon=None):
+                 caps_boost: float = 1.6, descreen_horizon=None,
+                 pair_tiles=None):
         self.params = params
         self.version = version
         self.cutoff = cutoff
@@ -506,7 +567,55 @@ class AGBNPModel:
                                      pair_pad=self.pair_pad,
                                      positions=positions)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
+        # interacting-tile lists for the pair sweeps: budgets sized from the
+        # initial configuration (None = auto when possible; False = dense
+        # grids; explicit (lb, lg) from a PanicButton regrow)
+        if pair_tiles is None:
+            pair_tiles = (self.pair_kernel
+                          and self._init_positions is not None)
+        if pair_tiles is True:
+            pair_tiles = self._sized_pair_tiles()
+        self.pair_tiles = pair_tiles if pair_tiles else None
         self._build_jit()
+
+    def _sized_pair_tiles(self):
+        """Initial (lmax_born, lmax_gb) tile-list budgets: the in-range
+        tile count on the initial configuration x1.5 headroom (8-aligned),
+        overflow-detected through the diag like the neighbor kmax."""
+        from ..ops.pallas.pairs import host_tile_count, pick_tile
+
+        n = self.params.n
+        tile = pick_tile(n)
+        pos = self._init_positions
+        rperm = np.asarray(self.arrays["rperm"])
+        pos_p = np.zeros((3, self.pair_pad))
+        pos_p[:, :n] = pos[rperm].T
+        rvalid = np.arange(self.pair_pad) < n
+        hids = np.asarray(self.arrays["hids_pad"])
+        hvalid = hids >= 0
+        pos_h = np.zeros((3, hids.shape[0]))
+        pos_h[:, hvalid] = pos[hids[hvalid]].T
+        boxv = (None if self.box is None
+                else np.asarray(self.box, np.float64))
+        from .constants import AGBNP_I4LOOKUP_MAXA
+        heff = (AGBNP_I4LOOKUP_MAXA if self.descreen_horizon is None
+                else min(self.descreen_horizon, AGBNP_I4LOOKUP_MAXA))
+
+        def budget(count, ntot):
+            return int(min(max(8, np.ceil(count * 1.5 / 8) * 8), ntot))
+
+        nti = self.pair_pad // tile
+        ntj = pos_h.shape[1] // tile
+        cb = host_tile_count(pos_p, rvalid, pos_h, hvalid, tile, heff,
+                             box=boxv)
+        lb = budget(cb, nti * ntj)
+        lg = None
+        if self.cutoff is not None:
+            cg = host_tile_count(pos_p, rvalid, pos_p, rvalid, tile,
+                                 float(self.cutoff), triangular=True,
+                                 box=boxv)
+            lg = budget(cg, nti * (nti + 1) // 2)
+        return (lb, lg)
 
     def update_params(self, params: AGBNPParams) -> bool:
         """Parameter-only update (updateParametersInContext semantics,
@@ -563,7 +672,8 @@ class AGBNPModel:
             neighbor_kmax=self.neighbor_kmax,
             neighbor_grid=self.neighbor_grid, box=self.box,
             pair_pad=self.pair_pad, pair_interpret=self.pair_interpret,
-            descreen_horizon=self.descreen_horizon))
+            descreen_horizon=self.descreen_horizon,
+            pair_tiles=self.pair_tiles))
         self._jit_vef = None  # batched variant rebuilt lazily after regrow
 
     def energy_forces(self, pos, with_details: bool = False):
@@ -603,7 +713,8 @@ class AGBNPModel:
         ov = T.check_overflow(diag)
         nb_over = ("neighbor_max" in diag
                    and int(diag["neighbor_max"]) > self.neighbor_kmax > 0)
-        if not ov["any"] and not nb_over:
+        tiles_over = self.grow_pair_tiles(diag.get("pair_tile_counts"))
+        if not ov["any"] and not nb_over and not tiles_over:
             return False
         if ov["any"]:
             self.caps = self.caps.grow(
@@ -614,3 +725,22 @@ class AGBNPModel:
                 int(diag["neighbor_max"]) * 1.5 / 16) * 16)
         self._build_jit()
         return True
+
+    def grow_pair_tiles(self, counts) -> bool:
+        """Grow the interacting-tile-list budgets past measured in-range
+        counts.  Returns True (and updates self.pair_tiles) on overflow;
+        the caller must rebuild its jit (check_and_grow does)."""
+        if self.pair_tiles is None or counts is None:
+            return False
+        cb, cg = (int(x) for x in np.asarray(counts))
+        lb, lg = self.pair_tiles
+        over = False
+        if cb > lb:
+            lb = max(8, int(np.ceil(cb * 1.5 / 8) * 8))
+            over = True
+        if lg is not None and cg > lg:
+            lg = max(8, int(np.ceil(cg * 1.5 / 8) * 8))
+            over = True
+        if over:
+            self.pair_tiles = (lb, lg)
+        return over

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ...models.constants import (
     AGBNP_I4LOOKUP_MAXA,
@@ -191,6 +192,117 @@ def _tile_ids(ti_, tj_, i, j):
     gi = jax.lax.broadcasted_iota(jnp.int32, (ti_, tj_), 0) + i * ti_
     gj = jax.lax.broadcasted_iota(jnp.int32, (ti_, tj_), 1) + j * tj_
     return gi, gj
+
+
+# ---------------------------------------------------------------------------
+# Interacting-tile lists
+# ---------------------------------------------------------------------------
+#
+# The reference's core scaling device is the compacted interacting-tile list:
+# its sweeps ride OpenMM's neighbor tiles instead of the full tile grid
+# (GVolOverlapTree.cl:139-142, rebound per step at
+# OpenCLAGBNPKernels.cpp:3521-3530).  The TPU analogue: per evaluation,
+# bound each [tile] row/column block by its AABB (Morton ordering makes
+# blocks spatially tight), keep only tile pairs whose center distance minus
+# both half-diagonals is inside the interaction range, compact them into an
+# i-major (ti, tj) list, and launch a 1-D Pallas grid over the list with
+# scalar-prefetched block index maps — out-of-range tiles are never visited
+# at all (no DMA, no geometry, no grid step).  The list length is a static
+# budget sized from the initial configuration; the actual in-range count
+# rides the diagnostics so the PanicButton regrows the budget on overflow
+# (same channel as the neighbor list's kmax).
+
+
+def tile_bounds(pos_pad, valid, tile: int):
+    """Per-tile AABB (center [3, NT], half-diagonal radius [NT]) of the
+    valid atoms in each contiguous block of `tile` packed columns.  Empty
+    tiles get radius -1e30 so every distance test excludes them."""
+    dt = pos_pad.dtype
+    nt = pos_pad.shape[1] // tile
+    p = pos_pad.reshape(3, nt, tile)
+    v = valid.reshape(1, nt, tile)
+    big = jnp.asarray(1e30, dt)
+    lo = jnp.min(jnp.where(v, p, big), axis=2)
+    hi = jnp.max(jnp.where(v, p, -big), axis=2)
+    has = jnp.any(v[0], axis=1)
+    lo = jnp.where(has[None, :], lo, 0.0)
+    hi = jnp.where(has[None, :], hi, 0.0)
+    center = 0.5 * (lo + hi)
+    rad = jnp.where(has, 0.5 * jnp.sqrt(jnp.sum((hi - lo) ** 2, axis=0)),
+                    -big)
+    return center, rad
+
+
+def build_tile_list(ci, ri, cj, rj, rng_dist: float, lmax: int,
+                    triangular: bool = False, box=None):
+    """Compact the in-range tile pairs into an i-major scalar list.
+
+    ci/ri, cj/rj: tile_bounds of the row and column packings.  A tile pair
+    survives iff the AABB lower distance bound  |c_i - c_j| - r_i - r_j
+    (min-image on centers when box is given) is < rng_dist — conservative:
+    it can only keep extra tiles, never drop a pair the kernels' own masks
+    would accept.  With triangular, only tj >= ti pairs are listed (the GB
+    sweep's unordered-pair convention).
+
+    Returns (tl [2, lmax] int32 (ti; tj), nv [1] int32 = min(count, lmax),
+    count [] int32).  count > lmax means the budget overflowed and the
+    evaluation is incomplete — detected by the caller's PanicButton.
+    """
+    nti, ntj = ri.shape[0], rj.shape[0]
+    dc = ci.T[:, None, :] - cj.T[None, :, :]
+    if box is not None:
+        b = jnp.asarray(box, dc.dtype)
+        dc = dc - b * jnp.round(dc / b)
+    dmin = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - ri[:, None] - rj[None, :]
+    ok = dmin < rng_dist
+    if triangular:
+        ok = ok & (jnp.arange(ntj, dtype=jnp.int32)[None, :]
+                   >= jnp.arange(nti, dtype=jnp.int32)[:, None])
+    ntot = nti * ntj
+    sentinel = jnp.int32(ntot)
+    key = jnp.where(ok.reshape(-1), jnp.arange(ntot, dtype=jnp.int32),
+                    sentinel)
+    if ntot < lmax:
+        key = jnp.pad(key, (0, lmax - ntot), constant_values=ntot)
+    order = jax.lax.sort(key)[:lmax]
+    count = jnp.sum(ok).astype(jnp.int32)
+    order = jnp.where(order < sentinel, order, 0)
+    tl = jnp.stack([order // ntj, order % ntj]).astype(jnp.int32)
+    return tl, jnp.minimum(count, lmax)[None], count
+
+
+def host_tile_count(pos_row, valid_row, pos_col, valid_col, tile: int,
+                    rng_dist: float, triangular: bool = False,
+                    box=None) -> int:
+    """NumPy twin of build_tile_list's count, for sizing the static budget
+    from the initial configuration at model init."""
+    import numpy as _np
+
+    def bounds(p, v):
+        nt = p.shape[1] // tile
+        pp = p.reshape(3, nt, tile)
+        vv = v.reshape(1, nt, tile)
+        lo = _np.min(_np.where(vv, pp, 1e30), axis=2)
+        hi = _np.max(_np.where(vv, pp, -1e30), axis=2)
+        has = _np.any(vv[0], axis=1)
+        lo = _np.where(has[None], lo, 0.0)
+        hi = _np.where(has[None], hi, 0.0)
+        c = 0.5 * (lo + hi)
+        r = _np.where(has, 0.5 * _np.sqrt(((hi - lo) ** 2).sum(0)), -1e30)
+        return c, r
+
+    ci, ri = bounds(_np.asarray(pos_row, _np.float64), _np.asarray(valid_row))
+    cj, rj = bounds(_np.asarray(pos_col, _np.float64), _np.asarray(valid_col))
+    dc = ci.T[:, None, :] - cj.T[None, :, :]
+    if box is not None:
+        b = _np.asarray(box, _np.float64)
+        dc = dc - b * _np.round(dc / b)
+    dmin = _np.sqrt((dc ** 2).sum(-1)) - ri[:, None] - rj[None, :]
+    ok = dmin < rng_dist
+    if triangular:
+        ok &= (_np.arange(rj.shape[0])[None, :]
+               >= _np.arange(ri.shape[0])[:, None])
+    return int(ok.sum())
 
 
 # ---------------------------------------------------------------------------
@@ -599,6 +711,299 @@ def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
     )(pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
       pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], *mid_args,
       s_hpad[None, :], brw_pad[None, :], bru_pad[None, :])
+    force_rows = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
+    force_cols = jnp.stack([fcx[0], fcy[0], fcz[0]], axis=1)
+    return w[0], u[0], force_rows, force_cols
+
+
+# ---------------------------------------------------------------------------
+# Interacting-tile-list kernel variants: 1-D grid over the compacted
+# (ti, tj) list with scalar-prefetched block index maps.  Out-of-range tile
+# pairs are never visited; all outputs are full-width VMEM-resident
+# accumulators (constant index maps) written with dynamic lane slices, so
+# any visit order is correct (the list is i-major for locality only).
+# ---------------------------------------------------------------------------
+
+
+def _born_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh,
+                    sj, out, *, ntj, n, box, horizon, tile):
+    l = pl.program_id(0)
+    i = tl[0, l]
+
+    @pl.when(l == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    @pl.when(l < nv[0])
+    def _():
+        dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+        d = jnp.sqrt(d2)
+        gi = (jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) + i * tile)
+        gj = hid[0][None, :]
+        mask = (gi != gj) & (gi < n) & (gj >= 0) & (d < horizon)
+
+        @pl.when(jnp.any(mask))
+        def _():
+            q, _ = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
+                                deriv=False)
+            sl = (0, pl.dslice(i * tile, tile))
+            out[sl] += jnp.sum(q * sj[0][None, :], axis=1)
+
+
+def born_sums_tiles(nv, tl, pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h,
+                    s_hpad, n, tile, box=None, interpret=False,
+                    horizon=None):
+    """born_sums over the compacted interacting-tile list (tl, nv) from
+    build_tile_list.  Returns raw [NP] (no Q/dQ saving: the descreening
+    sweep re-runs the spline over the same short list instead of streaming
+    [NP, NHP] tile buffers through HBM)."""
+    npad = pos_pad.shape[1]
+    ntj = cols_oh_h.shape[1]
+    dt = pos_pad.dtype
+    lmax = tl.shape[1]
+    row = lambda l, nv, tl: (0, tl[0, l])
+    col = lambda l, nv, tl: (0, tl[1, l])
+    full = lambda l, nv, tl: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(lmax,),
+        in_specs=[
+            pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row),
+            pl.BlockSpec((1, tile), row),
+            pl.BlockSpec((1, tile), col), pl.BlockSpec((1, tile), col),
+            pl.BlockSpec((1, tile), col),
+            pl.BlockSpec((1, tile), col),
+            pl.BlockSpec((tile, rowY.shape[1]), lambda l, nv, tl:
+                         (tl[0, l], 0)),
+            pl.BlockSpec((tile, ntj), lambda l, nv, tl: (tl[1, l], 0)),
+            pl.BlockSpec((1, tile), col),
+        ],
+        out_specs=pl.BlockSpec((1, npad), full),
+    )
+    out = pl.pallas_call(
+        functools.partial(_born_kernel_tl, ntj=ntj, n=n,
+                          box=None if box is None else tuple(box),
+                          horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
+                                   else min(horizon, AGBNP_I4LOOKUP_MAXA)),
+                          tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, npad), dt),
+        interpret=interpret,
+    )(nv, tl,
+      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
+      rowY, cols_oh_h, s_hpad[None, :])
+    return out[0]
+
+
+def _gb_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
+                  sgr, sgc, epr, epc, exr,
+                  erow, yrow, fx, fy, fz, mmrow, *, n, box, cutoff, with_mm,
+                  tile):
+    l = pl.program_id(0)
+    i = tl[0, l]
+    j = tl[1, l]
+
+    @pl.when(l == 0)
+    def _():
+        for ref in (erow, yrow, fx, fy, fz) + ((mmrow,) if with_mm else ()):
+            ref[...] = jnp.zeros_like(ref)
+
+    @pl.when(l < nv[0])
+    def _():
+        dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+        gi = (jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) + i * tile)
+        gj = (jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1) + j * tile)
+        mask = (gi < gj) & (gj < n)
+        if cutoff is not None:
+            mask = mask & (d2 < cutoff * cutoff)
+        dt = dx.dtype
+        rsl = (0, pl.dslice(i * tile, tile))
+        csl = (0, pl.dslice(j * tile, tile))
+
+        @pl.when(jnp.any(mask))
+        def _():
+            fm = mask.astype(dt)
+            bb = br[0][:, None] * bc[0][None, :]
+            bb_safe = jnp.where(mask, bb, 1.0)
+            etij = jnp.exp(-0.25 * jnp.where(mask, d2, 0.0) / bb_safe)
+            inv = jax.lax.rsqrt(jnp.where(mask, d2 + bb * etij, 1.0))
+            fgb = fm * inv
+            qq_f = qr[0][:, None] * qc[0][None, :]
+            qq = DIELECTRIC_FACTOR * qq_f
+
+            epair = qq * fgb
+            fgb3 = fgb * fgb * fgb
+            mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3
+            ypair = qq_f * (bb + 0.25 * d2) * etij * fgb3
+
+            if with_mm:
+                ex = exr[...]
+                excluded = jnp.zeros_like(mask)
+                for e in range(ex.shape[1]):
+                    excluded = excluded | (ex[:, e][:, None] == gj)
+                fmm = fm * (~excluded).astype(dt)
+                inv2 = fmm / jnp.where(mask, d2, 1.0)
+                sr2 = (sgr[0][:, None] * sgc[0][None, :]) * inv2
+                sr6 = sr2 * sr2 * sr2
+                epsij = epr[0][:, None] * epc[0][None, :]
+                rinv = fmm * jax.lax.rsqrt(jnp.where(mask, d2, 1.0))
+                ecoul = _KE * qq_f * rinv
+                elj = 4.0 * epsij * (sr6 * sr6 - sr6)
+                mmpair = elj + ecoul
+                dmm = (4.0 * epsij * (-6.0 * sr6 * sr6 + 3.0 * sr6)
+                       - 0.5 * ecoul) * inv2
+                mw = mw + 2.0 * dmm
+                mmrow[rsl] += jnp.sum(mmpair, axis=1)
+                mmrow[csl] += jnp.sum(mmpair, axis=0)
+
+            erow[rsl] += jnp.sum(epair, axis=1)
+            erow[csl] += jnp.sum(epair, axis=0)
+            yrow[rsl] += jnp.sum(ypair, axis=1)
+            yrow[csl] += jnp.sum(ypair, axis=0)
+            cx = dx * mw
+            cy = dy * mw
+            cz = dz * mw
+            fx[rsl] += jnp.sum(cx, axis=1)
+            fx[csl] += -jnp.sum(cx, axis=0)
+            fy[rsl] += jnp.sum(cy, axis=1)
+            fy[csl] += -jnp.sum(cy, axis=0)
+            fz[rsl] += jnp.sum(cz, axis=1)
+            fz[csl] += -jnp.sum(cz, axis=0)
+
+
+def gb_pair_tiles(nv, tl, pos_pad, charge_pad, born_pad, n, tile, box=None,
+                  cutoff=None, sig_pad=None, epsq_pad=None,
+                  excl_rows_pad=None, interpret=False):
+    """gb_pair over the compacted triangular interacting-tile list.  Same
+    contract as gb_pair."""
+    npad = pos_pad.shape[1]
+    dt = pos_pad.dtype
+    with_mm = sig_pad is not None
+    lmax = tl.shape[1]
+    row = lambda l, nv, tl: (0, tl[0, l])
+    col = lambda l, nv, tl: (0, tl[1, l])
+    full = lambda l, nv, tl: (0, 0)
+    shp = jax.ShapeDtypeStruct((1, npad), dt)
+    if not with_mm:
+        sig_pad = jnp.zeros(npad, dt)
+        epsq_pad = jnp.zeros(npad, dt)
+        excl_rows_pad = jnp.full((npad, 8), -1, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(lmax,),
+        in_specs=[pl.BlockSpec((1, tile), row)] * 3
+        + [pl.BlockSpec((1, tile), col)] * 3
+        + [pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((tile, excl_rows_pad.shape[1]),
+                        lambda l, nv, tl: (tl[0, l], 0))],
+        out_specs=[pl.BlockSpec((1, npad), full)] * 6,
+    )
+    erow, yrow, fx, fy, fz, mmrow = pl.pallas_call(
+        functools.partial(_gb_kernel_tl, n=n,
+                          box=None if box is None else tuple(box),
+                          cutoff=cutoff, with_mm=with_mm, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=[shp] * 6,
+        interpret=interpret,
+    )(nv, tl,
+      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      charge_pad[None, :], charge_pad[None, :],
+      born_pad[None, :], born_pad[None, :],
+      sig_pad[None, :], sig_pad[None, :],
+      epsq_pad[None, :], epsq_pad[None, :],
+      excl_rows_pad)
+    force = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
+    return erow[0], yrow[0], force, (mmrow[0] if with_mm else None)
+
+
+def _descreen_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY,
+                        colsoh, sj, brwr, brur, fx, fy, fz, wcol, ucol,
+                        fcx, fcy, fcz, *, ntj, n, box, horizon, tile):
+    l = pl.program_id(0)
+    i = tl[0, l]
+    j = tl[1, l]
+
+    @pl.when(l == 0)
+    def _():
+        for ref in (fx, fy, fz, wcol, ucol, fcx, fcy, fcz):
+            ref[...] = jnp.zeros_like(ref)
+
+    @pl.when(l < nv[0])
+    def _():
+        dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+        d = jnp.sqrt(d2)
+        gi = (jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) + i * tile)
+        gj = hid[0][None, :]
+        mask = (gi != gj) & (gi < n) & (gj >= 0) & (d < horizon)
+
+        @pl.when(jnp.any(mask))
+        def _():
+            q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
+                                 deriv=True)
+            sl = (0, pl.dslice(j * tile, tile))
+            rsl = (0, pl.dslice(i * tile, tile))
+            wcol[sl] += jnp.sum(brwr[0][:, None] * q, axis=0)
+            ucol[sl] += jnp.sum(brur[0][:, None] * q, axis=0)
+            dt = dx.dtype
+            c = ((brwr[0] + brur[0])[:, None] * sj[0][None, :] * dq
+                 * jnp.where(mask, 1.0 / jnp.where(mask, d, 1.0),
+                             0.0).astype(dt))
+            fx[rsl] += jnp.sum(c * dx, axis=1)
+            fy[rsl] += jnp.sum(c * dy, axis=1)
+            fz[rsl] += jnp.sum(c * dz, axis=1)
+            fcx[sl] += -jnp.sum(c * dx, axis=0)
+            fcy[sl] += -jnp.sum(c * dy, axis=0)
+            fcz[sl] += -jnp.sum(c * dz, axis=0)
+
+
+def descreening_tiles(nv, tl, pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h,
+                      s_hpad, brw_pad, bru_pad, n, tile, box=None,
+                      interpret=False, horizon=None):
+    """Descreening sweep over the same compacted interacting-tile list as
+    born_sums_tiles (identical geometry and horizon, so the list is shared).
+    Same contract as descreening()."""
+    npad = pos_pad.shape[1]
+    nhpad = pos_hpad.shape[1]
+    ntj = cols_oh_h.shape[1]
+    dt = pos_pad.dtype
+    lmax = tl.shape[1]
+    row = lambda l, nv, tl: (0, tl[0, l])
+    col = lambda l, nv, tl: (0, tl[1, l])
+    full = lambda l, nv, tl: (0, 0)
+    rowshp = jax.ShapeDtypeStruct((1, npad), dt)
+    colshp = jax.ShapeDtypeStruct((1, nhpad), dt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(lmax,),
+        in_specs=[pl.BlockSpec((1, tile), row)] * 3
+        + [pl.BlockSpec((1, tile), col)] * 3
+        + [pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((tile, rowY.shape[1]), lambda l, nv, tl:
+                        (tl[0, l], 0)),
+           pl.BlockSpec((tile, ntj), lambda l, nv, tl: (tl[1, l], 0)),
+           pl.BlockSpec((1, tile), col),
+           pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row)],
+        out_specs=[pl.BlockSpec((1, npad), full)] * 3
+        + [pl.BlockSpec((1, nhpad), full)] * 5,
+    )
+    fx, fy, fz, w, u, fcx, fcy, fcz = pl.pallas_call(
+        functools.partial(_descreen_kernel_tl, ntj=ntj, n=n,
+                          box=None if box is None else tuple(box),
+                          horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
+                                   else min(horizon, AGBNP_I4LOOKUP_MAXA)),
+                          tile=tile),
+        grid_spec=grid_spec,
+        out_shape=[rowshp] * 3 + [colshp] * 5,
+        interpret=interpret,
+    )(nv, tl,
+      pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
+      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
+      rowY, cols_oh_h, s_hpad[None, :], brw_pad[None, :], bru_pad[None, :])
     force_rows = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
     force_cols = jnp.stack([fcx[0], fcy[0], fcz[0]], axis=1)
     return w[0], u[0], force_rows, force_cols

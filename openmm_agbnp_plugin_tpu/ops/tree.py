@@ -548,6 +548,21 @@ def build_tree(level1, pairs_i, pairs_j, caps: TreeCaps, pairs_valid=None,
     return tuple(levels), diag
 
 
+def merge_counts(a, b):
+    """Elementwise max of two overflow-count vectors, zero-padding the
+    shorter (the MD paths append interacting-tile-list counts to the tree
+    level counts; tree-build diags carry only the levels)."""
+    import jax.numpy as _jnp
+
+    a = a.astype(_jnp.int32)
+    b = b.astype(_jnp.int32)
+    if a.shape[0] < b.shape[0]:
+        a = _jnp.pad(a, (0, b.shape[0] - a.shape[0]))
+    elif b.shape[0] < a.shape[0]:
+        b = _jnp.pad(b, (0, a.shape[0] - b.shape[0]))
+    return _jnp.maximum(a, b)
+
+
 def check_overflow(diag) -> dict:
     """Host-side PanicButton check. Returns numpy bools per level."""
     counts = np.asarray(diag["counts"])

@@ -132,7 +132,9 @@ class ReplicaEnsemble:
                 unroll=min(scan_unroll, ninner))
             # carry the overflow diagnostics like make_langevin_runner — an
             # overflowing replica must not silently run with a truncated tree
-            maxcounts = jnp.maximum(jnp.max(counts, axis=0), bdiag["counts"])
+            from ..ops.tree import merge_counts
+            maxcounts = merge_counts(jnp.max(counts, axis=0),
+                                     bdiag["counts"])
             return (pos, vel, key), (energies, maxcounts, nbmax,
                                      bdiag["max_siblings"], vdw_counts)
 

@@ -193,8 +193,8 @@ class TemperatureREMD:
             (pos, vel, key), (energies, counts) = jax.lax.scan(
                 inner, (pos, vel, key), length=ninner,
                 unroll=min(scan_unroll, ninner))
-            maxcounts = jnp.maximum(jnp.max(counts, axis=0),
-                                    bdiag["counts"])
+            maxcounts = _T.merge_counts(jnp.max(counts, axis=0),
+                                        bdiag["counts"])
             return (pos, vel, key), (energies, maxcounts, nbmax,
                                      bdiag["max_siblings"], vdw_counts,
                                      ffn)
@@ -241,7 +241,9 @@ class TemperatureREMD:
                              jnp.zeros(7, jnp.int32)))
             U = ffn_last(pos)[0]
             energies = jnp.concatenate([o[0] for o in outs])
-            mc = jnp.max(jnp.stack([o[1] for o in outs]), axis=0)
+            mc = outs[0][1]
+            for o in outs[1:]:
+                mc = _T.merge_counts(mc, o[1])
             nb = jnp.max(jnp.stack([o[2] for o in outs]))
             sb = jnp.max(jnp.stack([o[3] for o in outs]), axis=0)
             vc = jnp.max(jnp.stack([o[4] for o in outs]), axis=0)

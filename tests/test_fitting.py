@@ -27,7 +27,7 @@ def fit_system(fixture_dir):
 
 @pytest.mark.parametrize("key", [
     "gamma",
-    pytest.param("alpha", marks=pytest.mark.slow),
+    "alpha",
     pytest.param("charge", marks=pytest.mark.slow),
 ])
 def test_param_grads_match_fd(fit_system, key):
@@ -81,13 +81,19 @@ def test_fit_recovers_targets(fit_system):
     vg = pg.make_loss_grad(
         lambda es: ((es - targets) ** 2).mean())
 
-    opt = optax.adam(learning_rate=2.0)
+    # The loss is an ill-conditioned quadratic (the energy is linear in
+    # gamma/alpha and the 4 poses' sensitivities are nearly collinear), so a
+    # fixed large step oscillates: adam(lr=2.0) visits loss 54,000 from
+    # loss0 423 before settling.  A cosine-decayed schedule converges
+    # monotonically to the measured plateau ~7.3e-5*loss0 (adam floor along
+    # the near-null directions); the threshold carries ~2.7x margin on that.
+    opt = optax.adam(optax.cosine_decay_schedule(0.1, 400))
     state = opt.init(theta)
     loss0 = None
-    for _ in range(150):
+    for _ in range(400):
         loss, grads = vg(theta, poses)
         if loss0 is None:
             loss0 = float(loss)
         updates, state = opt.update(grads, state)
         theta = optax.apply_updates(theta, updates)
-    assert float(loss) < 1e-4 * loss0, (loss0, float(loss))
+    assert float(loss) < 2e-4 * loss0, (loss0, float(loss))

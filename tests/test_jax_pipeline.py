@@ -266,6 +266,60 @@ def test_bf16_split_tables_bit_exact(gaussvol_system):
 
 
 @pytest.mark.slow
+def test_interacting_tile_lists_match_dense(gaussvol_system):
+    """The compacted interacting-tile-list pair sweeps (born_sums_tiles /
+    gb_pair_tiles / descreening_tiles over AABB-filtered tile pairs, the
+    TPU analogue of the reference's neighbor-tile rebind,
+    OpenCLAGBNPKernels.cpp:3521-3530) must (a) actually drop tiles on an
+    extended system, (b) reproduce the dense-grid Pallas path bit-for-bit
+    (the list is conservative: it only skips tiles whose every pair the
+    dense kernels' masks reject), and (c) detect budget overflow and
+    recover exactly through check_and_grow."""
+    from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+    from openmm_agbnp_plugin_tpu.ops.pallas import pairs as PK
+
+    rng = np.random.default_rng(1)
+    n = 600
+    # dense 18-nm rod: tile AABBs are short segments, so distant tile
+    # pairs provably drop at a 1 nm range
+    pos = np.stack([0.03 * np.arange(n), 0.2 * rng.standard_normal(n),
+                    0.2 * rng.standard_normal(n)], 1)
+    ish = (np.arange(n) % 3 == 2).astype(np.int64)
+    params = AGBNPParams(radius=np.where(ish > 0, 0.12, 0.165),
+                         gamma=np.where(ish > 0, 0.0, 48.9528),
+                         alpha=np.where(ish > 0, -20.0, -60.0),
+                         charge=rng.uniform(-0.3, 0.3, n), ishydrogen=ish)
+    kw = dict(version=1, dtype=np.float32, positions=pos, pair_kernel=True,
+              cutoff=1.0, descreen_horizon="cutoff")
+    m_dense = AGBNPModel(params, pair_tiles=False, **kw)
+    m_tiles = AGBNPModel(params, **kw)
+
+    lb, lg = m_tiles.pair_tiles
+    tile = PK.pick_tile(n)
+    nti = m_tiles.pair_pad // tile
+    ntj = m_tiles.arrays["hids_pad"].shape[0] // tile
+    assert lb < nti * ntj          # (a) born/descreening tiles dropped
+    assert lg < nti * (nti + 1) // 2   # (a) GB triangular tiles dropped
+
+    e0, f0 = m_dense.energy_forces(pos)
+    e1, f1 = m_tiles.energy_forces(pos)
+    assert float(e1) == float(e0)                      # (b) bit-equal
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+
+    # (c) a deliberately tiny budget overflows, is detected, and the
+    # regrown evaluation is again exact
+    m_small = AGBNPModel(params, pair_tiles=(8, 8), **kw)
+    _, _, out = m_small.energy_forces(pos, with_details=True)
+    cb, cg = np.asarray(out["diag"]["pair_tile_counts"])
+    assert cb > 8 and cg > 8
+    assert m_small.check_and_grow(out["diag"])
+    assert m_small.pair_tiles[0] >= cb and m_small.pair_tiles[1] >= cg
+    e2, f2 = m_small.energy_forces(pos)
+    assert float(e2) == float(e0)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f0))
+
+
+@pytest.mark.slow
 def test_descreen_horizon_pallas_matches_xla(gaussvol_system):
     """OpenCL-backend cutoff semantics (Born/descreening sweeps truncated at
     the nonbonded cutoff, reference OpenCLAGBNPKernels.cpp:2258): the Pallas

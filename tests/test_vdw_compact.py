@@ -95,6 +95,10 @@ def test_compact_counts_match_numpy(built_vdw):
     expect = np.array([k.sum() for k in keep])
     assert (np.asarray(counts) == expect).all()
     assert expect.sum() > 0
+    # the fixture must actually exercise dropping: strictly fewer kept rows
+    # than valid rows, else the compaction-exactness tests are vacuous
+    total_valid = sum(int(np.asarray(l["valid"]).sum()) for l in levels_vdw)
+    assert expect.sum() < total_valid, (expect.sum(), total_valid)
     # the compacted valid counts agree (no truncation at these caps)
     got = np.array([int(np.asarray(t["valid"]).sum()) for t in topo_c])
     assert (got == expect).all()
@@ -167,8 +171,7 @@ def test_energy_forces_compact_exact(built_vdw):
     ntj = int(np.max(np.asarray(a["type_j"])) + 1)
     from functools import partial
     ef = jax.jit(partial(energy_forces, caps=caps, version=1,
-                         roffset=params.roffset, ntypes_j=ntj),
-                 static_argnames=())
+                         roffset=params.roffset, ntypes_j=ntj))
     full = ef(a, pos, topology=topo)
     comp = ef(a, pos, topology=topo, vdw_topology=topo_c)
 
