@@ -261,12 +261,22 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
                     triangular=True, box=boxv)
             tile_counts = jnp.stack([cnt_b, cnt_g])
         if tile_counts is not None:
-            raw = PK.born_sums_tiles(nv_b, tl_b, pos_pad, pos_hpad, hids_k,
-                                     a["rowY_pad"], a["cols_oh_hpad"], s_h,
-                                     n, tile, box=boxv,
-                                     interpret=pair_interpret,
-                                     horizon=horizon)
-            qd = None
+            # share Q/dQ between the two list sweeps when the per-entry
+            # saved tiles fit a reasonable HBM budget (they scale with the
+            # LIST, not the full pair space)
+            lqd = pair_tiles[0] * tile * tile * 8 <= (1 << 30)
+            born_out = PK.born_sums_tiles(nv_b, tl_b, pos_pad, pos_hpad,
+                                          hids_k, a["rowY_pad"],
+                                          a["cols_oh_hpad"], s_h,
+                                          n, tile, box=boxv,
+                                          interpret=pair_interpret,
+                                          horizon=horizon, save_qd=lqd)
+            if lqd:
+                raw, q_t, dq_t = born_out
+                qd = (q_t, dq_t)
+            else:
+                raw = born_out
+                qd = None
         else:
             born_out = PK.born_sums(pos_pad, pos_hpad, hids_k,
                                     a["rowY_pad"], a["cols_oh_hpad"], s_h,
@@ -321,7 +331,7 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
                 nv_b, tl_b, pos_pad, pos_hpad, hids_k, a["rowY_pad"],
                 a["cols_oh_hpad"], s_h, padv(evdw_der_brw),
                 padv(egb_der_bru), n, tile, box=boxv,
-                interpret=pair_interpret, horizon=horizon)
+                interpret=pair_interpret, horizon=horizon, qd=qd)
         else:
             w_h, u_h, swf_r, swf_c = PK.descreening(
                 pos_pad, pos_hpad, hids_k, a["rowY_pad"], a["cols_oh_hpad"],

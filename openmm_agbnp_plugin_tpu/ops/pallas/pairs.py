@@ -54,6 +54,11 @@ def pad_to(n: int, tile: int) -> int:
 
 
 def pick_tile(n: int) -> int:
+    import os
+
+    env = os.environ.get("AGBNP_PAIR_TILE")
+    if env:
+        return int(env)
     return 128 if n <= 1024 else 256
 
 
@@ -726,13 +731,20 @@ def descreening(pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h, s_hpad,
 
 
 def _born_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh,
-                    sj, out, *, ntj, n, box, horizon, tile):
+                    sj, *refs, ntj, n, box, horizon, tile, save_qd):
+    out = refs[0]
     l = pl.program_id(0)
     i = tl[0, l]
 
     @pl.when(l == 0)
     def _():
         out[...] = jnp.zeros_like(out)
+
+    if save_qd:
+        # every list entry owns its [1, T, T] saved tile; zero-fill so
+        # mask-empty entries stay exact for the descreening reload
+        refs[1][...] = jnp.zeros_like(refs[1])
+        refs[2][...] = jnp.zeros_like(refs[2])
 
     @pl.when(l < nv[0])
     def _():
@@ -744,19 +756,24 @@ def _born_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh,
 
         @pl.when(jnp.any(mask))
         def _():
-            q, _ = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
-                                deriv=False)
+            q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
+                                 deriv=save_qd)
             sl = (0, pl.dslice(i * tile, tile))
             out[sl] += jnp.sum(q * sj[0][None, :], axis=1)
+            if save_qd:
+                refs[1][...] = q[None]
+                refs[2][...] = dq[None]
 
 
 def born_sums_tiles(nv, tl, pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h,
                     s_hpad, n, tile, box=None, interpret=False,
-                    horizon=None):
+                    horizon=None, save_qd=False):
     """born_sums over the compacted interacting-tile list (tl, nv) from
-    build_tile_list.  Returns raw [NP] (no Q/dQ saving: the descreening
-    sweep re-runs the spline over the same short list instead of streaming
-    [NP, NHP] tile buffers through HBM)."""
+    build_tile_list.  Returns raw [NP], or (raw, Q, dQ) with save_qd where
+    Q/dQ are [lmax, T, T] per-list-entry tiles the descreening sweep
+    reloads by list index — the list-compacted analogue of the dense
+    path's [NP, NHP] shared-spline buffers, sized by the list instead of
+    the full pair space."""
     npad = pos_pad.shape[1]
     ntj = cols_oh_h.shape[1]
     dt = pos_pad.dtype
@@ -764,6 +781,12 @@ def born_sums_tiles(nv, tl, pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h,
     row = lambda l, nv, tl: (0, tl[0, l])
     col = lambda l, nv, tl: (0, tl[1, l])
     full = lambda l, nv, tl: (0, 0)
+    out_specs = [pl.BlockSpec((1, npad), full)]
+    out_shape = [jax.ShapeDtypeStruct((1, npad), dt)]
+    if save_qd:
+        out_specs += [pl.BlockSpec((1, tile, tile),
+                                   lambda l, nv, tl: (l, 0, 0))] * 2
+        out_shape += [jax.ShapeDtypeStruct((lmax, tile, tile), dt)] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(lmax,),
@@ -778,22 +801,24 @@ def born_sums_tiles(nv, tl, pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h,
             pl.BlockSpec((tile, ntj), lambda l, nv, tl: (tl[1, l], 0)),
             pl.BlockSpec((1, tile), col),
         ],
-        out_specs=pl.BlockSpec((1, npad), full),
+        out_specs=out_specs,
     )
     out = pl.pallas_call(
         functools.partial(_born_kernel_tl, ntj=ntj, n=n,
                           box=None if box is None else tuple(box),
                           horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
                                    else min(horizon, AGBNP_I4LOOKUP_MAXA)),
-                          tile=tile),
+                          tile=tile, save_qd=save_qd),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, npad), dt),
+        out_shape=out_shape,
         interpret=interpret,
     )(nv, tl,
       pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
       pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
       rowY, cols_oh_h, s_hpad[None, :])
-    return out[0]
+    if save_qd:
+        return out[0][0], out[1], out[2]
+    return out[0][0]
 
 
 def _gb_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, qr, qc, br, bc,
@@ -961,12 +986,54 @@ def _descreen_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY,
             fcz[sl] += -jnp.sum(c * dz, axis=0)
 
 
+def _descreen_qd_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, qt, dqt,
+                           sj, brwr, brur, fx, fy, fz, wcol, ucol,
+                           fcx, fcy, fcz, *, box, tile):
+    """List-driven descreening reloading the born pass's per-entry saved
+    (Q, dQ) tiles: geometry only, no spline contraction (Q = dQ = 0 for
+    every pair the born mask rejected, by the zero-fill)."""
+    l = pl.program_id(0)
+    i = tl[0, l]
+    j = tl[1, l]
+
+    @pl.when(l == 0)
+    def _():
+        for ref in (fx, fy, fz, wcol, ucol, fcx, fcy, fcz):
+            ref[...] = jnp.zeros_like(ref)
+
+    @pl.when(l < nv[0])
+    def _():
+        dx, dy, dz, d2 = _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box)
+        d = jnp.sqrt(d2)
+        q = qt[0]
+        dq = dqt[0]
+
+        @pl.when(jnp.any(q != 0.0) | jnp.any(dq != 0.0))
+        def _():
+            sl = (0, pl.dslice(j * tile, tile))
+            rsl = (0, pl.dslice(i * tile, tile))
+            wcol[sl] += jnp.sum(brwr[0][:, None] * q, axis=0)
+            ucol[sl] += jnp.sum(brur[0][:, None] * q, axis=0)
+            dt = dx.dtype
+            c = ((brwr[0] + brur[0])[:, None] * sj[0][None, :] * dq
+                 * jnp.where(d > 0.0, 1.0 / jnp.where(d > 0.0, d, 1.0),
+                             0.0).astype(dt))
+            fx[rsl] += jnp.sum(c * dx, axis=1)
+            fy[rsl] += jnp.sum(c * dy, axis=1)
+            fz[rsl] += jnp.sum(c * dz, axis=1)
+            fcx[sl] += -jnp.sum(c * dx, axis=0)
+            fcy[sl] += -jnp.sum(c * dy, axis=0)
+            fcz[sl] += -jnp.sum(c * dz, axis=0)
+
+
 def descreening_tiles(nv, tl, pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h,
                       s_hpad, brw_pad, bru_pad, n, tile, box=None,
-                      interpret=False, horizon=None):
+                      interpret=False, horizon=None, qd=None):
     """Descreening sweep over the same compacted interacting-tile list as
     born_sums_tiles (identical geometry and horizon, so the list is shared).
-    Same contract as descreening()."""
+    Same contract as descreening().  With qd=(Q, dQ) from
+    born_sums_tiles(save_qd=True) the spline contraction is skipped and the
+    per-entry saved tiles are reloaded."""
     npad = pos_pad.shape[1]
     nhpad = pos_hpad.shape[1]
     ntj = cols_oh_h.shape[1]
@@ -977,33 +1044,46 @@ def descreening_tiles(nv, tl, pos_pad, pos_hpad, hids_pad, rowY, cols_oh_h,
     full = lambda l, nv, tl: (0, 0)
     rowshp = jax.ShapeDtypeStruct((1, npad), dt)
     colshp = jax.ShapeDtypeStruct((1, nhpad), dt)
+    if qd is not None:
+        kern = functools.partial(
+            _descreen_qd_kernel_tl,
+            box=None if box is None else tuple(box), tile=tile)
+        mid_specs = [pl.BlockSpec((1, tile, tile),
+                                  lambda l, nv, tl: (l, 0, 0))] * 2
+        mid_args = (qd[0], qd[1])
+    else:
+        kern = functools.partial(
+            _descreen_kernel_tl, ntj=ntj, n=n,
+            box=None if box is None else tuple(box),
+            horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
+                     else min(horizon, AGBNP_I4LOOKUP_MAXA)),
+            tile=tile)
+        mid_specs = [pl.BlockSpec((1, tile), col),
+                     pl.BlockSpec((tile, rowY.shape[1]), lambda l, nv, tl:
+                                  (tl[0, l], 0)),
+                     pl.BlockSpec((tile, ntj), lambda l, nv, tl:
+                                  (tl[1, l], 0))]
+        mid_args = (hids_pad[None, :], rowY, cols_oh_h)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(lmax,),
         in_specs=[pl.BlockSpec((1, tile), row)] * 3
         + [pl.BlockSpec((1, tile), col)] * 3
+        + mid_specs
         + [pl.BlockSpec((1, tile), col),
-           pl.BlockSpec((tile, rowY.shape[1]), lambda l, nv, tl:
-                        (tl[0, l], 0)),
-           pl.BlockSpec((tile, ntj), lambda l, nv, tl: (tl[1, l], 0)),
-           pl.BlockSpec((1, tile), col),
            pl.BlockSpec((1, tile), row), pl.BlockSpec((1, tile), row)],
         out_specs=[pl.BlockSpec((1, npad), full)] * 3
         + [pl.BlockSpec((1, nhpad), full)] * 5,
     )
     fx, fy, fz, w, u, fcx, fcy, fcz = pl.pallas_call(
-        functools.partial(_descreen_kernel_tl, ntj=ntj, n=n,
-                          box=None if box is None else tuple(box),
-                          horizon=(AGBNP_I4LOOKUP_MAXA if horizon is None
-                                   else min(horizon, AGBNP_I4LOOKUP_MAXA)),
-                          tile=tile),
+        kern,
         grid_spec=grid_spec,
         out_shape=[rowshp] * 3 + [colshp] * 5,
         interpret=interpret,
     )(nv, tl,
       pos_pad[0:1], pos_pad[1:2], pos_pad[2:3],
-      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], hids_pad[None, :],
-      rowY, cols_oh_h, s_hpad[None, :], brw_pad[None, :], bru_pad[None, :])
+      pos_hpad[0:1], pos_hpad[1:2], pos_hpad[2:3], *mid_args,
+      s_hpad[None, :], brw_pad[None, :], bru_pad[None, :])
     force_rows = jnp.stack([fx[0], fy[0], fz[0]], axis=1)
     force_cols = jnp.stack([fcx[0], fcy[0], fcz[0]], axis=1)
     return w[0], u[0], force_rows, force_cols

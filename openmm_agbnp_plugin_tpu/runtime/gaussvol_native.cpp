@@ -276,9 +276,357 @@ struct GaussVolCtx {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Full AGBNP1 pipeline (host f64): Born radii through the I4 spline lookup,
+// GB self/pair energy, vdW dispersion, descreening derivative chain, and the
+// W/U gamma-rescan force pass — the native independent ground truth for the
+// TPU path at benchmark scale, mirroring the semantics of
+// reference ReferenceAGBNPKernels.cpp:274-795 (independent implementation,
+// same published model).
+// ---------------------------------------------------------------------------
+
+constexpr double I4_MAXA = 2.0;                 // AGBNPUtils.h:122-126
+constexpr int I4_NA = 16;
+constexpr int RADIUS_PRECISION = 10000;         // AGBNPUtils.h:155
+constexpr double TOKJMOL = 4.184 * 332.0 / 10.0;
+constexpr double DIELECTRIC_FACTOR = TOKJMOL * (-0.5) * (1.0 - 1.0 / 80.0);
+constexpr double PIFAC = 1.0 / (4.0 * PI_);
+constexpr double HB_RADIUS = 0.14;              // AGBNPForce.h:33
+
+// analytic integral of 1/r^4 over sphere j outside sphere i
+// (three branches + removable-singularity expansion, AGBNPUtils.cpp:34-85)
+double i4_closed(double rij, double Ri, double Rj) {
+  const double twopi = 2.0 * PI_;
+  double rij2 = rij * rij;
+  if (rij > Ri + Rj) {
+    double u1 = rij + Rj, u2 = rij - Rj;
+    return twopi * (Rj / (u1 * u2) - 0.5 * std::log(u1 / u2) / rij);
+  }
+  double w = Rj - Ri;
+  if (rij2 > w * w) {
+    double u1 = rij + Rj, u2 = rij - Rj;
+    double u3 = u1 * u2;
+    double u4 = 1.0 / u1, u5 = 1.0 / Ri;
+    double u6 = 0.5 * std::log(u1 / Ri);
+    return twopi * (-(u4 - u5)
+                    + (0.25 * u3 * (u4 * u4 - u5 * u5) - u6) / rij);
+  }
+  if (Ri > Rj) return 0.0;
+  double u1 = rij + Rj, u2 = Rj - rij;
+  double u3 = -u1 * u2;  // rij^2 - Rj^2
+  if (rij < 0.001 * Rj) {
+    double a = rij / Rj;
+    double u6 = (1.0 + (2.0 / 3.0) * a * a) / Rj;
+    return twopi * (2.0 / Ri + Rj / u3 - u6);
+  }
+  return twopi * (2.0 / Ri + Rj / u3 - 0.5 * std::log(u1 / u2) / rij);
+}
+
+// quintic 1 -> 0 switch on [xa, xb] (AGBNPUtils.cpp:13-25)
+double switch_1to0(double x, double xa, double xb) {
+  if (x > xb) return 0.0;
+  if (x < xa) return 1.0;
+  double u = (x - xa) / (xb - xa);
+  double u2 = u * u, u3 = u * u2;
+  return 1.0 - u3 * (10.0 - 15.0 * u + 6.0 * u2);
+}
+
+// natural cubic spline through uniform nodes (SplineFitter analogue)
+void natural_spline_y2(const std::vector<double>& x,
+                       const std::vector<double>& y,
+                       std::vector<double>& y2) {
+  int n = (int)x.size();
+  y2.assign(n, 0.0);
+  std::vector<double> u(n, 0.0);
+  for (int i = 1; i < n - 1; ++i) {
+    double sig = (x[i] - x[i - 1]) / (x[i + 1] - x[i - 1]);
+    double p = sig * y2[i - 1] + 2.0;
+    y2[i] = (sig - 1.0) / p;
+    double t = (y[i + 1] - y[i]) / (x[i + 1] - x[i])
+             - (y[i] - y[i - 1]) / (x[i] - x[i - 1]);
+    u[i] = (6.0 * t / (x[i + 1] - x[i - 1]) - sig * u[i - 1]) / p;
+  }
+  for (int k = n - 2; k >= 0; --k) y2[k] = y2[k] * y2[k + 1] + u[k];
+}
+
+struct I4Spline {
+  // uniform grid on [0, I4_MAXA]
+  std::vector<double> y, y2;
+  void eval(double t, double& v, double& dv) const {
+    double h = I4_MAXA / (I4_NA - 1);
+    int k = (int)(t / h);
+    if (k < 0) k = 0;
+    if (k > I4_NA - 2) k = I4_NA - 2;
+    double a = ((k + 1) * h - t) / h;
+    double b = 1.0 - a;
+    v = a * y[k] + b * y[k + 1]
+      + ((a * a * a - a) * y2[k] + (b * b * b - b) * y2[k + 1]) * h * h / 6.0;
+    dv = (y[k + 1] - y[k]) / h
+       + ((3.0 * b * b - 1.0) * y2[k + 1] - (3.0 * a * a - 1.0) * y2[k])
+         * h / 6.0;
+  }
+};
+
+struct AGBNP1Ctx {
+  int natoms;
+  std::vector<int> ishydrogen;
+  std::vector<double> radius, gamma, alpha, charge;
+  double roffset;
+  std::vector<int> type_i, type_j;  // screened / screener radius types
+  std::vector<I4Spline> tables;     // [ntype_i * ntype_j]
+  int ntj = 0;
+  GaussVolCtx tree;
+
+  void build_tables() {
+    // unique radii quantized at 1e-4 nm define the types
+    // (AGBNPI42DLookupTable, AGBNPUtils.cpp:134-214); hydrogens never
+    // screen (screener type -1)
+    std::vector<long> qi, qj;
+    std::vector<double> rep_i, rep_j;
+    type_i.resize(natoms);
+    type_j.resize(natoms);
+    auto quant = [](double r) { return (long)(r * RADIUS_PRECISION); };
+    std::vector<long> uq_i, uq_j;
+    for (int k = 0; k < natoms; ++k) {
+      long q = quant(radius[k]);
+      if (std::find(uq_i.begin(), uq_i.end(), q) == uq_i.end())
+        uq_i.push_back(q);
+      if (!ishydrogen[k]
+          && std::find(uq_j.begin(), uq_j.end(), q) == uq_j.end())
+        uq_j.push_back(q);
+    }
+    std::sort(uq_i.begin(), uq_i.end());
+    std::sort(uq_j.begin(), uq_j.end());
+    rep_i.assign(uq_i.size(), 0.0);
+    rep_j.assign(uq_j.size(), 0.0);
+    std::vector<int> seen_i(uq_i.size(), 0), seen_j(uq_j.size(), 0);
+    for (int k = 0; k < natoms; ++k) {
+      long q = quant(radius[k]);
+      int ti = (int)(std::lower_bound(uq_i.begin(), uq_i.end(), q)
+                     - uq_i.begin());
+      type_i[k] = ti;
+      if (!seen_i[ti]) { rep_i[ti] = radius[k]; seen_i[ti] = 1; }
+      if (ishydrogen[k]) {
+        type_j[k] = -1;
+      } else {
+        int tj = (int)(std::lower_bound(uq_j.begin(), uq_j.end(), q)
+                       - uq_j.begin());
+        type_j[k] = tj;
+        if (!seen_j[tj]) { rep_j[tj] = radius[k]; seen_j[tj] = 1; }
+      }
+    }
+    ntj = (int)uq_j.size();
+    int nti = (int)uq_i.size();
+    double dr = I4_MAXA / (I4_NA - 1);
+    double xa = 0.5 * I4_MAXA, xb = I4_MAXA;
+    std::vector<double> xn(I4_NA);
+    for (int s = 0; s < I4_NA; ++s) xn[s] = s * dr;
+    tables.assign(nti * ntj, {});
+    for (int ti = 0; ti < nti; ++ti)
+      for (int tj = 0; tj < ntj; ++tj) {
+        I4Spline& sp = tables[ti * ntj + tj];
+        sp.y.resize(I4_NA);
+        for (int s = 0; s < I4_NA; ++s)
+          sp.y[s] = switch_1to0(xn[s], xa, xb)
+                  * i4_closed(xn[s], rep_i[ti], rep_j[tj]);
+        natural_spline_y2(xn, sp.y, sp.y2);
+      }
+  }
+
+  // full AGBNP1 energy + analytic forces (the reference pipeline,
+  // ReferenceAGBNPKernels.cpp:274-795).  cutoff <= 0: NoCutoff GB;
+  // horizon <= 0: the 2 nm LUT horizon for the descreening sweeps.
+  void energy_forces(const double* pos, double cutoff, double horizon,
+                     double* energy, double* force, double* born_out,
+                     double* selfvol_out, double* components) {
+    int n = natoms;
+    double hmax = horizon > 0 ? std::min(horizon, I4_MAXA) : I4_MAXA;
+    std::vector<double> vol_l(n), vol_v(n), gdr(n), volall(n);
+    for (int i = 0; i < n; ++i) {
+      double rl = radius[i] + roffset;
+      vol_l[i] = ishydrogen[i] ? 0.0 : 4.0 * PI_ * rl * rl * rl / 3.0;
+      double rv = radius[i];
+      volall[i] = 4.0 * PI_ * rv * rv * rv / 3.0;
+      vol_v[i] = ishydrogen[i] ? 0.0 : volall[i];
+      gdr[i] = gamma[i] / roffset;
+    }
+    std::vector<double> rl(n);
+    for (int i = 0; i < n; ++i) rl[i] = radius[i] + roffset;
+
+    std::vector<double> dr(3 * n), dv(n), fv(n), sv(n);
+    double e1, vol1;
+    tree.natoms = n;
+    tree.ishydrogen = ishydrogen;
+    tree.compute_tree(pos, rl.data(), vol_l.data(), gdr.data());
+    tree.compute_volume(&e1, &vol1, dr.data(), dv.data(), fv.data(),
+                        sv.data());
+    std::vector<double> f(3 * n);
+    for (int k = 0; k < 3 * n; ++k) f[k] = -dr[k];
+
+    std::vector<double> ngdr(n);
+    for (int i = 0; i < n; ++i) ngdr[i] = -gdr[i];
+    double e2, vol2;
+    tree.rescan_volumes(pos, radius.data(), vol_v.data(), ngdr.data());
+    tree.compute_volume(&e2, &vol2, dr.data(), dv.data(), fv.data(),
+                        sv.data());
+    for (int k = 0; k < 3 * n; ++k) f[k] -= dr[k];
+    double e_cav = e1 + e2;
+
+    // volume scaling factors (cpp:420-430)
+    std::vector<double> s(n);
+    for (int i = 0; i < n; ++i) s[i] = sv[i] / volall[i];
+
+    // Born radii (cpp:437-454): Q/dQ cached for the descreening sweep
+    std::vector<double> Q((size_t)n * n, 0.0), dQ((size_t)n * n, 0.0);
+    std::vector<double> br(n), fp(n);
+    for (int i = 0; i < n; ++i) {
+      double acc = 0.0;
+      for (int j = 0; j < n; ++j) {
+        if (j == i || type_j[j] < 0) continue;
+        double dx = pos[3 * j] - pos[3 * i];
+        double dy = pos[3 * j + 1] - pos[3 * i + 1];
+        double dz = pos[3 * j + 2] - pos[3 * i + 2];
+        double d = std::sqrt(dx * dx + dy * dy + dz * dz);
+        if (d >= hmax) continue;
+        double q, dq;
+        tables[type_i[i] * ntj + type_j[j]].eval(d, q, dq);
+        Q[(size_t)i * n + j] = q;
+        dQ[(size_t)i * n + j] = dq;
+        acc += s[j] * q;
+      }
+      double beta = 1.0 / radius[i] - PIFAC * acc;
+      // soft filter on the inverse Born radius (cpp:41-55)
+      double a = 1.0 / I4_MAXA, a2 = a * a;
+      double filt, fpi;
+      if (beta >= 0.0) {
+        double t = std::sqrt(a2 + beta * beta);
+        filt = t;
+        fpi = beta / t;
+      } else {
+        filt = a;
+        fpi = 0.0;
+      }
+      br[i] = 1.0 / filt;
+      fp[i] = fpi;
+    }
+
+    // GB self + pair energy, direct forces, Y accumulators (cpp:464-504)
+    double gb_self = 0.0, gb_pair = 0.0;
+    std::vector<double> Y(n, 0.0);
+    for (int i = 0; i < n; ++i)
+      gb_self += DIELECTRIC_FACTOR * charge[i] * charge[i] / br[i];
+    for (int i = 0; i < n; ++i) {
+      for (int j = i + 1; j < n; ++j) {
+        double dx = pos[3 * j] - pos[3 * i];
+        double dy = pos[3 * j + 1] - pos[3 * i + 1];
+        double dz = pos[3 * j + 2] - pos[3 * i + 2];
+        double d2 = dx * dx + dy * dy + dz * dz;
+        if (cutoff > 0 && d2 >= cutoff * cutoff) continue;
+        double bb = br[i] * br[j];
+        double etij = std::exp(-0.25 * d2 / bb);
+        double fgb = 1.0 / std::sqrt(d2 + bb * etij);
+        double qq_f = charge[i] * charge[j];
+        double qq = DIELECTRIC_FACTOR * qq_f;
+        gb_pair += 2.0 * qq * fgb;
+        double fgb3 = fgb * fgb * fgb;
+        double mw = -2.0 * qq * (1.0 - 0.25 * etij) * fgb3;
+        f[3 * i] += dx * mw;      f[3 * j] -= dx * mw;
+        f[3 * i + 1] += dy * mw;  f[3 * j + 1] -= dy * mw;
+        f[3 * i + 2] += dz * mw;  f[3 * j + 2] -= dz * mw;
+        double ypair = qq_f * (bb + 0.25 * d2) * etij * fgb3;
+        Y[i] += ypair;
+        Y[j] += ypair;
+      }
+    }
+
+    // vdW dispersion + chain factors (cpp:513-549)
+    double e_vdw = 0.0;
+    std::vector<double> brw(n), bru(n);
+    for (int i = 0; i < n; ++i) {
+      double b = br[i] + HB_RADIUS;
+      e_vdw += alpha[i] / (b * b * b);
+      brw[i] = -PIFAC * 3.0 * alpha[i] * br[i] * br[i] * fp[i]
+             / (b * b * b * b);
+      bru[i] = -PIFAC * DIELECTRIC_FACTOR
+             * (charge[i] * charge[i] + Y[i] * br[i]) * fp[i];
+    }
+
+    // descreening derivative sweep (cpp:555-586)
+    std::vector<double> W(n, 0.0), U(n, 0.0);
+    for (int i = 0; i < n; ++i) {
+      for (int j = 0; j < n; ++j) {
+        if (j == i || type_j[j] < 0) continue;
+        double q = Q[(size_t)i * n + j];
+        double dq = dQ[(size_t)i * n + j];
+        if (q == 0.0 && dq == 0.0) continue;
+        W[j] += brw[i] * q;
+        U[j] += bru[i] * q;
+        double dx = pos[3 * j] - pos[3 * i];
+        double dy = pos[3 * j + 1] - pos[3 * i + 1];
+        double dz = pos[3 * j + 2] - pos[3 * i + 2];
+        double d = std::sqrt(dx * dx + dy * dy + dz * dz);
+        double c = (brw[i] + bru[i]) * s[j] * dq / d;
+        f[3 * i] += c * dx;      f[3 * j] -= c * dx;
+        f[3 * i + 1] += c * dy;  f[3 * j + 1] -= c * dy;
+        f[3 * i + 2] += c * dz;  f[3 * j + 2] -= c * dz;
+      }
+    }
+
+    // self-volume-gradient forces via the fused W+U gamma rescan
+    // (the two passes of cpp:713-747, linear in gamma so one pass)
+    std::vector<double> gwu(n);
+    for (int i = 0; i < n; ++i) gwu[i] = (W[i] + U[i]) / volall[i];
+    tree.rescan_gammas(gwu.data());
+    double ewu, volwu;
+    tree.compute_volume(&ewu, &volwu, dr.data(), dv.data(), fv.data(),
+                        sv.data());
+    for (int k = 0; k < 3 * n; ++k) f[k] -= dr[k];
+    // note: the WU compute_volume overwrote sv with the WU-pass psip;
+    // recompute the reported self volumes from the s factors kept above
+    for (int i = 0; i < n; ++i) selfvol_out[i] = s[i] * volall[i];
+
+    *energy = e_cav + gb_self + gb_pair + e_vdw;
+    std::memcpy(force, f.data(), sizeof(double) * 3 * n);
+    std::memcpy(born_out, br.data(), sizeof(double) * n);
+    components[0] = e_cav;
+    components[1] = gb_self;
+    components[2] = gb_pair;
+    components[3] = e_vdw;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* agbnp1_create(int natoms, const double* radius, const double* gamma,
+                    const double* alpha, const double* charge,
+                    const int* ishydrogen, double roffset) {
+  auto* ctx = new AGBNP1Ctx();
+  ctx->natoms = natoms;
+  ctx->radius.assign(radius, radius + natoms);
+  ctx->gamma.assign(gamma, gamma + natoms);
+  // hydrogen gammas are zeroed (ReferenceAGBNPKernels.cpp:96-118)
+  for (int i = 0; i < natoms; ++i)
+    if (ishydrogen[i]) ctx->gamma[i] = 0.0;
+  ctx->alpha.assign(alpha, alpha + natoms);
+  ctx->charge.assign(charge, charge + natoms);
+  ctx->ishydrogen.assign(ishydrogen, ishydrogen + natoms);
+  ctx->roffset = roffset;
+  ctx->build_tables();
+  return ctx;
+}
+
+void agbnp1_destroy(void* h) { delete (AGBNP1Ctx*)h; }
+
+void agbnp1_energy_forces(void* h, const double* pos, double cutoff,
+                          double horizon, double* energy, double* force,
+                          double* born, double* selfvol,
+                          double* components) {
+  ((AGBNP1Ctx*)h)->energy_forces(pos, cutoff, horizon, energy, force, born,
+                                 selfvol, components);
+}
+
 
 void* gv_create(int natoms, const int* ishydrogen) {
   auto* ctx = new GaussVolCtx();

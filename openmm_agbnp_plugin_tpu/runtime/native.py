@@ -46,6 +46,14 @@ def _load():
                                    ctypes.POINTER(ctypes.c_int)]
     lib.gv_total_nodes.restype = ctypes.c_int
     lib.gv_total_nodes.argtypes = [ctypes.c_void_p]
+    lib.agbnp1_create.restype = ctypes.c_void_p
+    lib.agbnp1_create.argtypes = [ctypes.c_int, dptr, dptr, dptr, dptr,
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.c_double]
+    lib.agbnp1_destroy.argtypes = [ctypes.c_void_p]
+    lib.agbnp1_energy_forces.argtypes = [ctypes.c_void_p, dptr,
+                                         ctypes.c_double, ctypes.c_double,
+                                         dptr, dptr, dptr, dptr, dptr]
     _LIB = lib
     return lib
 
@@ -119,6 +127,56 @@ class NativeGaussVol:
         self._lib.gv_level_stats(self._h, counts.ctypes.data_as(ip),
                                  sibs.ctypes.data_as(ip))
         return counts, sibs
+
+
+class NativeAGBNP1:
+    """Full native AGBNP1 pipeline (f64, O(N^2) sweeps): the independent
+    benchmark-scale ground truth for the TPU path — overlap-tree cavity
+    term, I4-spline Born radii (tables built natively from the closed-form
+    i4 integral), GB self/pair, vdW dispersion, descreening chain, and the
+    W/U gamma-rescan force pass.  Mirrors the semantics of reference
+    ReferenceAGBNPKernels.cpp:274-795."""
+
+    def __init__(self, params):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native agbnp1 library unavailable")
+        self._lib = lib
+        self.natoms = params.n
+        r = np.ascontiguousarray(params.radii_vdw, np.float64)
+        g = np.ascontiguousarray(params.gamma, np.float64)
+        a = np.ascontiguousarray(params.alpha, np.float64)
+        c = np.ascontiguousarray(params.charge, np.float64)
+        ish = np.ascontiguousarray(params.ishydrogen, np.int32)
+        self._keep = (r, g, a, c, ish)
+        self._h = lib.agbnp1_create(
+            params.n, _dp(r), _dp(g), _dp(a), _dp(c),
+            ish.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            float(params.roffset))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.agbnp1_destroy(self._h)
+            self._h = None
+
+    def energy_forces(self, pos, cutoff=None, horizon=None):
+        """Returns dict(energy, force [N, 3], born_radius, self_volume,
+        e_cav, gb_self, gb_pair, e_vdw).  cutoff None = NoCutoff GB;
+        horizon None = the 2 nm LUT descreening horizon ("cutoff" mode
+        passes the cutoff value)."""
+        n = self.natoms
+        pos = np.ascontiguousarray(pos, np.float64)
+        energy = np.zeros(1)
+        force = np.zeros((n, 3))
+        born = np.zeros(n)
+        sv = np.zeros(n)
+        comp = np.zeros(4)
+        self._lib.agbnp1_energy_forces(
+            self._h, _dp(pos), float(cutoff or 0.0), float(horizon or 0.0),
+            _dp(energy), _dp(force), _dp(born), _dp(sv), _dp(comp))
+        return dict(energy=energy[0], force=force, born_radius=born,
+                    self_volume=sv, e_cav=comp[0], gb_self=comp[1],
+                    gb_pair=comp[2], e_vdw=comp[3])
 
 
 def size_tree_caps(params, pos, boost: float = 1.6, align: int = 128):
