@@ -153,6 +153,63 @@ def mts_langevin_step(slow_force_fn, fast_force_fn, masses, dt, temp,
     return step
 
 
+def wu_impulse_langevin_block(split_force_fn, skip_force_fn, masses, dt,
+                              temp, friction, k: int, constraints=None):
+    """k-step middle-Langevin block with the WU self-volume-gradient force
+    applied as an r-RESPA impulse at block start (the `mts_wu` option).
+
+    The WU gamma-rescan force pass is the smoothest AGBNP force component
+    (it differentiates switched self-volumes, which change on the
+    neighbor-rebuild timescale), so it qualifies as an r-RESPA slow class
+    at period k*dt while everything else integrates at dt.  Exactness
+    anchor: with k=1 this reproduces langevin_middle_step with the fused
+    force bit-for-bit (same kick at the same positions, same noise
+    stream).
+
+    split_force_fn(pos) -> (e, force_without_wu, force_wu, counts)
+    skip_force_fn(pos)  -> (e, force_without_wu, counts)
+
+    Returns a scan-compatible block step over (pos, vel, key) emitting
+    (energies [k], counts_max) per block.  The reported per-step energies
+    are exact: the WU pass contributes force only, never energy.
+    """
+    a = jnp.exp(-friction * dt)
+    b = jnp.sqrt(1.0 - a * a)
+    inv_m = 1.0 / masses[:, None]
+
+    def block(state, _):
+        pos, vel, key = state
+        es = []
+        cs = []
+        for i in range(k):
+            if i == 0:
+                e, force, f_wu, counts = split_force_fn(pos)
+                # impulse: k*dt worth of WU force folded into this kick
+                force = force + k * f_wu
+            else:
+                e, force, counts = skip_force_fn(pos)
+            es.append(e)
+            cs.append(counts)
+            vel = vel + dt * force * inv_m
+            if constraints is not None:
+                vel = constraints.velocities(pos, vel)
+            pos0 = pos
+            pos = pos + 0.5 * dt * vel
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
+            sigma = jnp.sqrt(KB * temp * inv_m)
+            vel = a * vel + b * sigma * noise
+            pos = pos + 0.5 * dt * vel
+            if constraints is not None:
+                posc = constraints.positions(pos, pos0)
+                vel = vel + (posc - pos) / dt
+                pos = posc
+        return ((pos, vel, key),
+                (jnp.stack(es), jnp.max(jnp.stack(cs), axis=0)))
+
+    return block
+
+
 def mts_verlet_step(slow_force_fn, fast_force_fn, masses, dt, inner: int,
                     constraints=None):
     """Symmetric r-RESPA velocity Verlet (NVE): half slow kick, `inner`

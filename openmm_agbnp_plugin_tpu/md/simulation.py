@@ -132,7 +132,8 @@ class Simulation:
         return self.velocities
 
     def _agbnp_force(self, pos, pairs=None, topology=None,
-                     mm_nb=None, a=None, vdw_topology=None):
+                     mm_nb=None, a=None, vdw_topology=None,
+                     wu_mode: str = "fused"):
         a = self.agbnp.arrays if a is None else a
         if pairs is not None:
             a = {**a, "pairs_i": pairs[0], "pairs_j": pairs[1],
@@ -149,7 +150,8 @@ class Simulation:
                             mm_nb=mm_nb,
                             descreen_horizon=self.agbnp.descreen_horizon,
                             vdw_topology=vdw_topology,
-                            pair_tiles=self.agbnp.pair_tiles)
+                            pair_tiles=self.agbnp.pair_tiles,
+                            wu_mode=wu_mode)
         energy = out["energy"]
         e_mm_nb = out["details"].get("e_mm_nb")
         if e_mm_nb is not None:
@@ -160,6 +162,8 @@ class Simulation:
             # interacting-tile-list in-range counts ride the same overflow
             # channel as the tree-level counts (stripped in _check_overflow)
             counts = jnp.concatenate([counts, ptc.astype(jnp.int32)])
+        if wu_mode == "split":
+            return energy, out["force"], out["details"]["force_wu"], counts
         return energy, out["force"], counts
 
     def ff_state(self, fuse_mm: bool | None = None):
@@ -209,7 +213,8 @@ class Simulation:
         return self._sharded_fn
 
     def force_fn(self, pairs=None, topology=None, ff=None, mesh=None,
-                 split: bool = False, vdw_topology=None):
+                 split: bool = False, vdw_topology=None,
+                 wu_mode: str = "fused"):
         """Returns fn(pos) -> (energy, force, tree_counts); the counts ride
         the scan outputs so overflow is detectable after an MD run (the
         in-loop PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634).
@@ -244,6 +249,10 @@ class Simulation:
         if mesh is not None and (topology is None or self.agbnp.version != 1):
             raise ValueError("mesh-sharded force requires version 1 and a "
                              "prebuilt topology")
+        if wu_mode != "fused" and (split or mesh is not None
+                                   or self.agbnp.version != 1):
+            raise ValueError("wu_mode split/skip (mts_wu) requires "
+                             "version 1 without MTS or mesh sharding")
         fuse_mm = (self.mm is not None and self.agbnp.pair_kernel
                    and self.agbnp.version == 1 and mesh is None)
         if ff is None:
@@ -268,7 +277,8 @@ class Simulation:
             def agbnp_part(pos):
                 return self._agbnp_force(pos, pairs, topology,
                                          mm_nb=mm_nb, a=a,
-                                         vdw_topology=vdw_topology)
+                                         vdw_topology=vdw_topology,
+                                         wu_mode=wu_mode)
 
         if split:
             def slow_fn(pos):
@@ -302,7 +312,8 @@ class Simulation:
         def fn(pos):
             if self.vsites is not None:
                 pos = project_positions(pos, self.vsites)
-            energy, force, counts = agbnp_part(pos)
+            out = agbnp_part(pos)
+            energy, force, counts = out[0], out[1], out[-1]
             if self.mm is not None:
                 if fuse_mm:
                     mm_e = partial(self.mm.energy_bonded_and_14, a=mm_a)
@@ -314,6 +325,11 @@ class Simulation:
                 force = force - g_mm
             if self.vsites is not None:
                 force = spread_forces(force, self.vsites)
+            if wu_mode == "split":
+                f_wu = out[2]
+                if self.vsites is not None:
+                    f_wu = spread_forces(f_wu, self.vsites)
+                return energy, force, f_wu, counts
             return energy, force, counts
         return fn
 
@@ -408,7 +424,7 @@ class Simulation:
                              topology_relax=None, mesh=None,
                              mts_inner: int = 0, scan_unroll: int = 4,
                              vdw_compact: bool = True,
-                             vdw_relax: float = 0.5):
+                             vdw_relax: float = 0.5, wu_every: int = 1):
         """Returns run(pos, vel, key, nsteps) — a nested-scan Langevin loop.
 
         With mts_inner > 0, each step is a multiple-timestep (r-RESPA)
@@ -483,6 +499,12 @@ class Simulation:
             raise ValueError("mesh-sharded MD requires topology-rebuild "
                              "windows (neighbor_every > 0, "
                              "rebuild_topology=True)")
+        if wu_every > 1 and (mts_inner or mesh is not None
+                             or self.agbnp2 is not None
+                             or self.agbnp.version != 1
+                             or neighbor_every <= 0):
+            raise ValueError("wu_every > 1 (mts_wu) requires version 1 "
+                             "rebuild-window MD without MTS/mesh")
 
         if neighbor_every <= 0:
             @partial(jax.jit, static_argnames=("nsteps",))
@@ -559,11 +581,45 @@ class Simulation:
                             _T.rescan_volumes(topo, lvl1v), vdw_caps,
                             relax=vdw_relax)
                         vdw_counts = vdw_counts.astype(jnp.int32)
-                inner = make_step(ff=ff, pairs=(pi, pj, pv), topology=topo,
-                                  vdw_topology=vdw_topo)
-                (pos, vel, key), (energies, counts) = jax.lax.scan(
-                    inner, (pos, vel, key), length=ninner,
-                    unroll=min(scan_unroll, ninner))
+                if wu_every > 1:
+                    # mts_wu: the WU gamma-rescan force pass as an r-RESPA
+                    # impulse every wu_every steps (integrators.py::
+                    # wu_impulse_langevin_block); off-impulse steps skip the
+                    # pass entirely
+                    from .integrators import wu_impulse_langevin_block
+                    mk = dict(pairs=(pi, pj, pv), topology=topo,
+                              ff=ff, vdw_topology=vdw_topo)
+                    split_fn = self.force_fn(wu_mode="split", **mk)
+                    skip_fn = self.force_fn(wu_mode="skip", **mk)
+
+                    def blockstep(k):
+                        return wu_impulse_langevin_block(
+                            split_fn, skip_fn, masses, dt, temperature,
+                            friction, k, constraints=self.constraints)
+
+                    nblk, remk = divmod(ninner, wu_every)
+                    carry = (pos, vel, key)
+                    elist, clist = [], []
+                    if nblk:
+                        carry, (e, c) = jax.lax.scan(
+                            blockstep(wu_every), carry, length=nblk,
+                            unroll=min(max(1, scan_unroll // wu_every),
+                                       nblk))
+                        elist.append(e.reshape(-1))
+                        clist.append(jnp.max(c, axis=0))
+                    if remk:
+                        carry, (e, c) = blockstep(remk)(carry, None)
+                        elist.append(e)
+                        clist.append(c)
+                    pos, vel, key = carry
+                    energies = jnp.concatenate(elist)
+                    counts = jnp.stack(clist)
+                else:
+                    inner = make_step(ff=ff, pairs=(pi, pj, pv),
+                                      topology=topo, vdw_topology=vdw_topo)
+                    (pos, vel, key), (energies, counts) = jax.lax.scan(
+                        inner, (pos, vel, key), length=ninner,
+                        unroll=min(scan_unroll, ninner))
                 maxcounts = jnp.max(counts, axis=0)
                 if build_counts is not None:
                     from ..ops.tree import merge_counts
@@ -622,7 +678,8 @@ class Simulation:
                            neighbor_every: int = 10,
                            rebuild_topology: bool = True,
                            mts_inner: int = 0, max_regrow: int = 3,
-                           scan_unroll: int = 4, vdw_compact: bool = True):
+                           scan_unroll: int = 4, vdw_compact: bool = True,
+                           wu_every: int = 1):
         """Timed Langevin MD, reference-benchmark style. Returns dict with
         ns/day and the energy trace.  If a capacity overflow is detected
         (PanicButton, reference OpenCLAGBNPKernels.cpp:3598-3634) the caps
@@ -634,7 +691,8 @@ class Simulation:
                                             rebuild_topology=rebuild_topology,
                                             mts_inner=mts_inner,
                                             scan_unroll=scan_unroll,
-                                            vdw_compact=vdw_compact)
+                                            vdw_compact=vdw_compact,
+                                            wu_every=wu_every)
             key = jax.random.PRNGKey(seed)
             pos, vel = self.positions, self.velocities
             if warmup:

@@ -130,6 +130,77 @@ def ms_free_volumes(ms, pos, radii, self_volume, ishydrogen):
     return fv * _ms_switch(fv) * ms["valid"].astype(fv.dtype)
 
 
+def _zero_cot(x):
+    """Zero cotangent with the dtype JAX expects (float0 for ints/bools)."""
+    import numpy as _np
+
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return _np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _atomic_cavity(pos, lvl1_args, topo):
+    """Atomic cavity passes with an ANALYTIC reverse rule.
+
+    Returns (e_cav = E1+E2, sv_large, sv_vdw) from the two-parameterization
+    rescan over the fixed topology.  Autodiff through the tree sweeps costs
+    ~2-3x the forward pass; the hand chain is the v1 machinery instead:
+
+      d/dpos [g_e*E(gamma) + sum_i w_i sv_i] = reduce_tree(
+          rescan_gammas(levels, g_e*gamma + w)).dr
+
+    using E(gamma=w) == sum_i w_i sv_i (the reduction is linear in the
+    per-atom gammas; the identity behind the reference's two gamma-rescan
+    force passes, ReferenceAGBNPKernels.cpp:713-747).  One extra gamma pass
+    per tree replaces the full transposed sweep.
+
+    NOTE: cotangents for the parameter arrays are zero — v2 force
+    evaluation differentiates positions only (parameter fitting is a
+    v1 pipeline, api/fitting.py).
+    """
+    out, _ = _atomic_cavity_fwd(pos, lvl1_args, topo)
+    return out
+
+
+def _make_lvl1(pos, lvl1_args):
+    rl, vl, rv, vv, gdr, ish_f = lvl1_args
+    ish = ish_f.astype(jnp.int32)
+    lvl1_large = T.make_level1(pos, rl, vl, gdr, ish)
+    lvl1_vdw = T.make_level1(pos, rv, vv, -gdr, ish)
+    return lvl1_large, lvl1_vdw
+
+
+def _atomic_cavity_fwd(pos, lvl1_args, topo):
+    lvl1_large, lvl1_vdw = _make_lvl1(pos, lvl1_args)
+    levels_l, levels_v = T.rescan_volumes2(topo, lvl1_large, lvl1_vdw)
+    red1 = T.reduce_tree(levels_l, lvl1_large, with_selfvol=True)
+    red2 = T.reduce_tree(levels_v, lvl1_vdw, with_selfvol=True)
+    out = (red1["energy"], red2["energy"], red1["self_volume"],
+           red2["self_volume"])
+    return out, (pos, lvl1_args, topo)
+
+
+def _atomic_cavity_bwd(res, cots):
+    pos, lvl1_args, topo = res
+    g1, g2, w_l, w_v = cots
+    lvl1_large, lvl1_vdw = _make_lvl1(pos, lvl1_args)
+    levels_l, levels_v = T.rescan_volumes2(topo, lvl1_large, lvl1_vdw)
+    gdr = lvl1_args[4]
+    gam_l = {**lvl1_large, "gamma1i": g1 * gdr + w_l}
+    gam_v = {**lvl1_vdw, "gamma1i": -g2 * gdr + w_v}
+    red_l = T.reduce_tree(T.rescan_gammas(levels_l, gam_l), gam_l,
+                          with_selfvol=False)
+    red_v = T.reduce_tree(T.rescan_gammas(levels_v, gam_v), gam_v,
+                          with_selfvol=False)
+    dpos = red_l["dr"] + red_v["dr"]
+    return (dpos, jax.tree.map(_zero_cot, res[1]),
+            jax.tree.map(_zero_cot, topo))
+
+
+_atomic_cavity.defvjp(_atomic_cavity_fwd, _atomic_cavity_bwd)
+
+
 def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                   ms_pi, ms_pj, ms_pv, cap_ms, ms_kmax, common_gamma,
                   cutoff=None, topology=None, with_topology: bool = False):
@@ -145,24 +216,29 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     gamma_dr = a["gamma"] / roffset
     radw = SOLVENT_RADIUS
 
-    # atomic cavity passes
-    lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
-                               gamma_dr, a["ishydrogen"])
+    # atomic cavity passes: the build (topology discovery) carries no
+    # gradient path — node values are recomputed by the fixed-topology
+    # rescan inside _atomic_cavity, whose custom_vjp replaces the
+    # transposed tree sweeps with the v1 analytic gamma-pass machinery
     if topology is None:
-        levels, diag = T.build_tree(lvl1_large, a["pairs_i"], a["pairs_j"],
-                                    caps, pairs_valid=a["pairs_valid"])
+        lvl1_large = T.make_level1(pos, a["radii_large"], a["vol_large"],
+                                   gamma_dr, a["ishydrogen"])
+        levels_b, diag = T.build_tree(lvl1_large, a["pairs_i"],
+                                      a["pairs_j"], caps,
+                                      pairs_valid=a["pairs_valid"])
+        topo_atoms = T.tree_topology(levels_b)
     else:
-        levels = T.rescan_volumes(topology["atoms"], lvl1_large)
+        topo_atoms = topology["atoms"]
         diag = dict(
             counts=jnp.stack([jnp.sum(t["valid"])
-                              for t in topology["atoms"]]).astype(jnp.int32),
+                              for t in topo_atoms]).astype(jnp.int32),
             max_siblings=jnp.zeros(7, jnp.int32))
-    red1 = T.reduce_tree(levels, lvl1_large, with_selfvol=True)
-    lvl1_vdw = T.make_level1(pos, a["radii_vdw"], a["vol_vdw"],
-                             -gamma_dr, a["ishydrogen"])
-    levels_vdw = T.rescan_volumes(levels, lvl1_vdw)
-    red2 = T.reduce_tree(levels_vdw, lvl1_vdw, with_selfvol=True)
-    energy = red1["energy"] + red2["energy"]
+    lvl1_args = (a["radii_large"], a["vol_large"], a["radii_vdw"],
+                 a["vol_vdw"], gamma_dr,
+                 jnp.asarray(a["ishydrogen"]).astype(pos.dtype))
+    e_vol1, e_vol2, sv_large, sv_vdw = _atomic_cavity(pos, lvl1_args,
+                                                      topo_atoms)
+    energy = e_vol1 + e_vol2
 
     # MS particles + free volumes
     ms = ms_particles(pos, a["radii_vdw"], ms_pi, ms_pj, ms_pv, cap_ms,
@@ -170,9 +246,9 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                       count=None if topology is None
                       else topology["ms_count"])
     fv_large = ms_free_volumes(ms, pos, a["radii_large"],
-                               red1["self_volume"], a["ishydrogen"])
+                               sv_large, a["ishydrogen"])
     fv_vdw = ms_free_volumes(ms, pos, a["radii_vdw"],
-                             red2["self_volume"], a["ishydrogen"])
+                             sv_vdw, a["ishydrogen"])
 
     # MS overlap tree built at vdW free volumes
     n_ms = cap_ms
@@ -203,7 +279,7 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                                        num_segments=pos.shape[0])
              + 0.5 * jax.ops.segment_sum(mred2["self_volume"], ms["p2"],
                                          num_segments=pos.shape[0]))
-    self_volume = red2["self_volume"] + svadd
+    self_volume = sv_vdw + svadd
 
     # GB / vdW phases (shared with AGBNP1)
     s_factor = self_volume / a["vol_vdw_all"]
@@ -223,13 +299,13 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     mred1 = T.reduce_tree(mlevels_l, lvl1_ms_l, with_selfvol=False)
     energy = energy + mred1["energy"]
 
-    details = dict(e_vol1=red1["energy"], e_vol2=red2["energy"],
+    details = dict(e_vol1=e_vol1, e_vol2=e_vol2,
                    e_ms_vdw=mred2["energy"], e_ms_large=mred1["energy"],
                    gb_self=gb["gb_self"], gb_pair=gb["gb_pair"], e_vdw=e_vdw,
                    num_ms=ms["count"], self_volume=self_volume,
                    born_radius=br)
     if with_topology:
-        topo = dict(atoms=T.tree_topology(levels),
+        topo = dict(atoms=topo_atoms,
                     ms=T.tree_topology(mlevels),
                     ms_idx=ms["idx"], ms_count=ms["count"])
         return energy, (diag, mdiag), details, topo

@@ -361,7 +361,7 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                   pair_interpret: bool = False, pair_rows: bool = False,
                   mm_nb=None, pair_shard=None, neighbor_grid=None,
                   descreen_horizon=None, vdw_topology=None,
-                  pair_tiles=None):
+                  pair_tiles=None, wu_mode: str = "fused"):
     """Full GVolSA (version 0) / AGBNP1 (version 1) energy + analytic forces.
 
     With neighbor_kmax > 0, the 2-body candidate pairs are built on device
@@ -459,6 +459,20 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
     # (ReferenceAGBNPKernels.cpp:713-747); the reduction is linear in gamma
     # and both carry unit weights, so one pass over gamma_W + gamma_U gives
     # the identical force sum at half the tree work.
+    #
+    # wu_mode: "fused" folds the WU force in (the reference semantics);
+    # "split" returns it separately (force_wu) for the mts_wu r-RESPA
+    # impulse; "skip" omits the pass entirely (the impulse integrator's
+    # off-step evaluation).  The energy never depends on this pass.
+    if wu_mode == "skip":
+        energy = e_cav + gb_self + gb_pair_e + e_vdw
+        force = f_cav + pair_force
+        details.update(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
+                       born_radius=br, self_volume=self_volume,
+                       s_factor=s_factor)
+        if e_mm_nb is not None:
+            details["e_mm_nb"] = e_mm_nb
+        return dict(energy=energy, force=force, diag=diag, details=details)
     gamma_WU = (evdw_der_W + egb_der_U) / a["vol_vdw_all"]
     if vdw_topology is not None:
         # compacted WU pass: vdw_topology is the ancestor closure of the
@@ -478,7 +492,11 @@ def energy_forces(a: dict, pos, caps: T.TreeCaps, version: int,
                                with_selfvol=False)
 
     energy = e_cav + gb_self + gb_pair_e + e_vdw
-    force = f_cav + pair_force - red_WU["dr"]
+    if wu_mode == "split":
+        force = f_cav + pair_force
+        details["force_wu"] = -red_WU["dr"]
+    else:
+        force = f_cav + pair_force - red_WU["dr"]
 
     details.update(gb_self=gb_self, gb_pair=gb_pair_e, e_vdw=e_vdw,
                    born_radius=br, self_volume=self_volume, s_factor=s_factor)

@@ -109,14 +109,23 @@ def prepare_pair_tables(type_screened, type_screener, yval, y2val,
     return rowY.reshape(len(ti), -1), cols_oh
 
 
-def _tile_spline(rowY_blk, cols_oh_blk, d, mask, ntj, deriv):
+def _tile_spline(rowY_blk, cols_oh_blk, d, mask, ntj, deriv,
+                 horizon=None):
     """Per-tile spline eval. rowY_blk [TI, 2*NA*Tj] (s-major) f32/f64, or
     the 3-way bf16 mantissa split [TI, 3*NA*2*Tj] from
     prepare_pair_tables(split_bf16=True); cols_oh_blk [TJ, Tj]; d [TI, TJ].
-    Returns (Q, dQ or None), masked."""
+    Returns (Q, dQ or None), masked.
+
+    With horizon < 2 nm (the OpenCL-backend cutoff mode), every unmasked
+    pair has seg <= floor(horizon/h), so only nodes 0..seg_max+1 can ever
+    be selected — the segment loop (the MXU node-selection matmuls, the
+    dominant per-tile cost) shrinks proportionally, exactly."""
     dt = d.dtype
     seg = jnp.clip((d * (1.0 / _H)).astype(jnp.int32), 0, _NA - 2)
     split = rowY_blk.dtype == jnp.bfloat16
+    na_eff = _NA
+    if horizon is not None and horizon < AGBNP_I4LOOKUP_MAXA:
+        na_eff = min(_NA, int(horizon / _H) + 2)
 
     if split:
         # block-diagonal one-hot [2*TJ, 2*Tj] so one matmul selects the
@@ -134,7 +143,7 @@ def _tile_spline(rowY_blk, cols_oh_blk, d, mask, ntj, deriv):
 
     zero = jnp.zeros_like(d)
     y0 = y1 = y20 = y21 = zero
-    for s in range(_NA):
+    for s in range(na_eff):
         if split:
             node = None
             for k in range(3):
@@ -344,7 +353,7 @@ def _born_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj, *refs,
     @pl.when(jnp.any(mask))
     def _():
         q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
-                             deriv=save_qd)
+                             deriv=save_qd, horizon=horizon)
         out[0, :] = out[0, :] + jnp.sum(q * sj[0][None, :], axis=1)
         if save_qd:
             refs[1][...] = q
@@ -595,7 +604,7 @@ def _descreen_kernel(pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh, sj,
     @pl.when(jnp.any(mask))
     def _():
         q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
-                             deriv=True)
+                             deriv=True, horizon=horizon)
 
         # W_j += BrW_i Q_ij, U_j += BrU_i Q_ij: column sums for this tile
         sl = (0, pl.dslice(j * tj_, tj_))
@@ -757,7 +766,7 @@ def _born_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY, colsoh,
         @pl.when(jnp.any(mask))
         def _():
             q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
-                                 deriv=save_qd)
+                                 deriv=save_qd, horizon=horizon)
             sl = (0, pl.dslice(i * tile, tile))
             out[sl] += jnp.sum(q * sj[0][None, :], axis=1)
             if save_qd:
@@ -969,7 +978,7 @@ def _descreen_kernel_tl(nv, tl, pxr, pyr, pzr, pxc, pyc, pzc, hid, rowY,
         @pl.when(jnp.any(mask))
         def _():
             q, dq = _tile_spline(rowY[...], colsoh[...], d, mask, ntj,
-                                 deriv=True)
+                                 deriv=True, horizon=horizon)
             sl = (0, pl.dslice(j * tile, tile))
             rsl = (0, pl.dslice(i * tile, tile))
             wcol[sl] += jnp.sum(brwr[0][:, None] * q, axis=0)

@@ -16,8 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# Opt-in real-TPU lane: AGBNP_TPU_TESTS=1 leaves the platform alone so
+# tests/test_tpu.py runs the golden anchors and kernel parity checks on the
+# actual chip (f32 tolerances); everything else still runs (CPU fallback
+# inside jax when no accelerator).  Default: forced CPU + x64.
+TPU_LANE = os.environ.get("AGBNP_TPU_TESTS") == "1"
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the suite is dominated by XLA:CPU compiles
 # of the big fused programs, which are identical run-to-run.
 jax.config.update("jax_compilation_cache_dir",

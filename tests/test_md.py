@@ -246,3 +246,38 @@ def test_run_md_checkpoint_exact_resume(trpcage_sim, tmp_path):
     np.testing.assert_array_equal(np.asarray(rest["final_vel"]),
                                   np.asarray(full["final_vel"]))
     np.testing.assert_array_equal(rest["energies"], full["energies"][6:])
+
+
+@pytest.mark.slow
+def test_wu_impulse_mts(trpcage_sim):
+    """mts_wu (the WU gamma-rescan force pass as an r-RESPA impulse every
+    wu_every steps, integrators.py::wu_impulse_langevin_block):
+    wu_every=1 must reproduce the plain runner bit-for-bit (same kick,
+    same noise stream), and wu_every=4 must stay within the stale-window
+    tolerance class over a short run, including the non-dividing
+    remainder-block path."""
+    import jax
+
+    sim = trpcage_sim
+    key = jax.random.PRNGKey(7)
+    run0 = sim.make_langevin_runner(dt=0.001, neighbor_every=6)
+    p0, v0, _, e0, _ = run0(sim.positions, sim.velocities, key, 12)
+    run1 = sim.make_langevin_runner(dt=0.001, neighbor_every=6, wu_every=1)
+    p1, v1, _, e1, _ = run1(sim.positions, sim.velocities, key, 12)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e0))
+
+    run4 = sim.make_langevin_runner(dt=0.001, neighbor_every=6, wu_every=4)
+    p4, _, _, e4, _ = run4(sim.positions, sim.velocities, key, 12)
+    assert np.isfinite(np.asarray(e4)).all()
+    assert np.asarray(e4).shape == (12,)
+    # smooth slow class at 4 fs: small trajectory deviation over 12 steps
+    assert np.abs(np.asarray(p4) - np.asarray(p0)).max() < 5e-4
+    assert np.abs((np.asarray(e4) - np.asarray(e0))
+                  / np.asarray(e0)).max() < 5e-4
+
+    # remainder path: wu_every=5 does not divide the 6-step windows
+    run5 = sim.make_langevin_runner(dt=0.001, neighbor_every=6, wu_every=5)
+    _, _, _, e5, _ = run5(sim.positions, sim.velocities, key, 12)
+    assert np.asarray(e5).shape == (12,)
+    assert np.isfinite(np.asarray(e5)).all()

@@ -1,0 +1,135 @@
+"""Opt-in real-TPU test lane (VERDICT r2 item 6).
+
+Run with:  AGBNP_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q -m ""
+
+Everywhere else the suite validates the compute path on CPU (f64, Pallas in
+interpret mode); this lane runs the golden anchors and the kernel-vs-XLA
+parity checks as REAL Mosaic kernels on the chip at f32 tolerances — the
+coverage CI cannot provide.  Skipped entirely unless AGBNP_TPU_TESTS=1 and
+an accelerator is actually present.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("AGBNP_TPU_TESTS") != "1",
+    reason="real-TPU lane: set AGBNP_TPU_TESTS=1")
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("no accelerator present")
+    return jax
+
+
+@pytest.fixture(scope="module")
+def models(tpu, gaussvol_system):
+    """XLA-dense (f32) and Pallas-kernel (f32, real kernels) models plus
+    the f64-semantics CPU numbers for the same fixture."""
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import AGBNPModel
+
+    params, pos = gaussvol_system
+    m_xla = AGBNPModel(params, version=1, dtype=np.float32,
+                       positions=np.asarray(pos), pair_kernel=False)
+    m_pal = AGBNPModel(params, version=1, dtype=np.float32,
+                       positions=np.asarray(pos), pair_kernel=True)
+    return params, pos, m_xla, m_pal
+
+
+def test_golden_anchor_on_chip(models):
+    """AGBNP1 golden energy (-2476.66) from the fused f32 pipeline running
+    on the real chip (reference golden fixture printouts)."""
+    params, pos, m_xla, m_pal = models
+    e, _ = m_pal.energy_forces(pos)
+    assert float(e) == pytest.approx(-2476.66, abs=0.5)  # f32 pair order
+
+
+def test_pallas_kernels_match_xla_on_chip(models):
+    """The Pallas pair kernels as REAL Mosaic kernels (not interpret mode)
+    must match the dense XLA formulation at f32 tolerance."""
+    params, pos, m_xla, m_pal = models
+    assert not m_pal.pair_interpret  # actually compiled kernels
+    e0, f0 = m_xla.energy_forces(pos)
+    e1, f1 = m_pal.energy_forces(pos)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert abs(float(e1) - float(e0)) <= 5e-3
+    assert np.abs(f1 - f0).max() <= 5e-6 * np.abs(f0).max()
+
+
+def test_tile_lists_match_dense_on_chip(tpu, gaussvol_system):
+    """Interacting-tile-list kernels == dense-grid kernels on the chip
+    (cutoff + truncated-horizon deployment configuration)."""
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import AGBNPModel
+
+    params, pos = gaussvol_system
+    kw = dict(version=1, dtype=np.float32, positions=np.asarray(pos),
+              pair_kernel=True, cutoff=1.0, descreen_horizon="cutoff")
+    m_d = AGBNPModel(params, pair_tiles=False, **kw)
+    m_t = AGBNPModel(params, **kw)
+    e0, f0 = m_d.energy_forces(pos)
+    e1, f1 = m_t.energy_forces(pos)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert abs(float(e1) - float(e0)) <= 1e-6 * abs(float(e0))
+    assert np.abs(f1 - f0).max() <= 1e-5 * max(1.0, np.abs(f0).max())
+
+
+def test_bf16_split_tables_bit_exact_on_chip(tpu, gaussvol_system):
+    """The 3-way bf16 mantissa-split spline tables must reproduce the f32
+    HIGHEST-precision contraction bit-exactly ON THE MXU (the claim the
+    CPU interpret-mode test cannot fully establish)."""
+    import jax.numpy as jnp
+
+    from openmm_agbnp_plugin_tpu.models.i4_tables import I4LookupTables
+    from openmm_agbnp_plugin_tpu.ops.pallas import pairs as PK
+
+    params, pos = gaussvol_system
+    t = I4LookupTables(params.radii_vdw, params.ishydrogen)
+    n, tile = params.n, 128
+    npad = PK.pad_to(n, tile)
+    hidx = np.nonzero(np.asarray(params.ishydrogen) == 0)[0]
+    nhpad = PK.pad_to(len(hidx), tile)
+    hids = np.full(nhpad, -1, np.int32)
+    hids[:len(hidx)] = hidx
+    posn = np.asarray(pos, np.float32)
+    pos_pad = np.pad(posn, ((0, npad - n), (0, 0))).T
+    pos_h = np.zeros((nhpad, 3), np.float32)
+    pos_h[:len(hidx)] = posn[hidx]
+    s = np.random.default_rng(0).uniform(0.3, 1.0, nhpad).astype(np.float32)
+
+    outs = []
+    for split in (False, True):
+        rowY, cols_oh = PK.prepare_pair_tables(
+            t.type_screened, t.type_screener, t.yval, t.y2val,
+            split_bf16=split)
+        tdt = rowY.dtype if split else np.float32
+        rowY_pad = np.pad(rowY, ((0, npad - n), (0, 0))).astype(tdt)
+        coh = np.pad(cols_oh[hidx],
+                     ((0, nhpad - len(hidx)), (0, 0))).astype(tdt)
+        raw = PK.born_sums(jnp.asarray(pos_pad), jnp.asarray(pos_h.T),
+                           jnp.asarray(hids), jnp.asarray(rowY_pad),
+                           jnp.asarray(coh), jnp.asarray(s), n, tile,
+                           interpret=False)
+        outs.append(np.asarray(raw))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_md_smoke_on_chip(tpu):
+    """A short trp-cage MD run on the chip: finite energies, no overflow."""
+    import os as _os
+
+    from openmm_agbnp_plugin_tpu.io.dms import load_dms
+    from openmm_agbnp_plugin_tpu.md.simulation import Simulation
+
+    data = _os.path.join(_os.path.dirname(__file__), "..", "benchmarks",
+                         "data")
+    dms = load_dms(_os.path.join(data, "trpcage_agbnp1.dms"))
+    sim = Simulation(dms, version=1, cutoff=1.0, dtype=np.float32,
+                     descreen_horizon="cutoff")
+    res = sim.benchmark_langevin(nsteps=50, neighbor_every=10, warmup=False)
+    assert np.isfinite(res["energies"]).all()
