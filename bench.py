@@ -12,8 +12,13 @@ vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
 baseline constant below is the wall-clock-derived estimate for the
 reference's OpenCL backend on a mid-2017 GPU for this 1310-atom system at
 1 fs (~10k steps in ~170 s -> ~5 ns/day), consistent with the GaussVol GPU
-paper's era (README.md:126).  It is an assumption, recorded here explicitly,
-not a measured number.
+paper's era (README.md:126).  It is an assumption, recorded here
+explicitly, not a measured number — but it is now BRACKETED by a
+measurement: the in-repo native C++ engine (the Reference-platform-class
+CPU implementation, runtime/gaussvol_native.cpp) measures 0.49 ns/day on
+1li2 on this host, so the 5 ns/day OpenCL estimate credits the 2017 GPU
+backend with a generous ~10x over its own CPU platform; see BASELINE.md
+"Quantitative baseline bracket".
 """
 
 import json
@@ -85,13 +90,13 @@ def main():
     dh = os.environ.get("BENCH_DESCREEN_HORIZON", "cutoff")
     dh = None if dh == "lut" else ("cutoff" if dh == "cutoff" else float(dh))
 
-    def measure(name, horizon):
+    def measure(name, horizon, wu_every: int = 1):
         d = load_dms(os.path.join(here, "benchmarks", "data", f"{name}.dms"))
         sim = Simulation(d, version=1, cutoff=1.0, dtype=dtype, skin=0.25,
                          descreen_horizon=horizon)
         r = sim.benchmark_langevin(nsteps=nsteps, dt=0.001,
                                    temperature=300.0, friction=1.0,
-                                   neighbor_every=40)
+                                   neighbor_every=40, wu_every=wu_every)
         return round(r["ns_day"], 3)
 
     headline = measure(SYSTEM, dh)
@@ -112,6 +117,11 @@ def main():
             extra["ns_day_trpcage_agbnp1"] = measure("trpcage_agbnp1", dh)
             extra[f"ns_day_{SYSTEM.split('_')[0]}_agbnp1_lut_horizon"] = \
                 measure(SYSTEM, None)
+            # mts_wu: the WU force pass as an r-RESPA impulse every 4
+            # steps (validated approximation beyond the reference's fixed
+            # full-force protocol, tests/test_md.py::test_wu_impulse_mts)
+            extra[f"ns_day_{SYSTEM.split('_')[0]}_agbnp1_mts_wu4"] = \
+                measure(SYSTEM, dh, wu_every=4)
         except Exception as exc:  # extras must never kill the headline
             extra["error"] = f"{type(exc).__name__}: {exc}"
         out["extra_metrics"] = extra

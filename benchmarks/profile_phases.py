@@ -27,13 +27,20 @@ from openmm_agbnp_plugin_tpu.ops import tree as T
 from openmm_agbnp_plugin_tpu.ops.neighbors import half_neighbor_pairs
 
 
+def _sync(out):
+    """Value-fetch sync: on the remote-TPU (axon) backend
+    block_until_ready can return before execution completes; fetching a
+    leaf's bytes is the reliable barrier."""
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+
+
 def timeit(fn, *args, n=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)  # device work serializes; one end fetch bounds all n
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 

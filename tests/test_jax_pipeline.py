@@ -279,9 +279,10 @@ def test_interacting_tile_lists_match_dense(gaussvol_system):
     from openmm_agbnp_plugin_tpu.ops.pallas import pairs as PK
 
     rng = np.random.default_rng(1)
-    n = 600
-    # dense 18-nm rod: tile AABBs are short segments, so distant tile
-    # pairs provably drop at a 1 nm range
+    n = 900
+    # dense 27-nm rod: tile AABBs are short segments, so distant tile
+    # pairs provably drop at a 1 nm range even after the x1.5 budget
+    # headroom's 8-alignment
     pos = np.stack([0.03 * np.arange(n), 0.2 * rng.standard_normal(n),
                     0.2 * rng.standard_normal(n)], 1)
     ish = (np.arange(n) % 3 == 2).astype(np.int64)
