@@ -8,10 +8,12 @@ the OpenCL-backend cutoff horizon):
     mirroring reference ReferenceAGBNPKernels.cpp:274-795) in float64 — the
     ground truth.  Shares no code with the JAX path.
   * jax_f64: the JAX pipeline at float64 on CPU (small systems — CPU compile
-    cost bounds the big ones).
+    cost bounds the big ones).  Run in a subprocess.
   * tpu_f32: the deployment path (Pallas pair kernels + interacting-tile
-    lists) at float32 on the TPU, run in a subprocess so the platforms
-    don't mix.
+    lists) at float32 on the TPU.  Run in a subprocess — the parent never
+    initializes a jax backend, so the remote-TPU tunnel stays free for the
+    children (a parent-side CPU jax init was observed to hold the tunnel
+    and silently push the children onto CPU).
 
 Reported per comparison: relative energy error and max force error relative
 to the force scale.  The BASELINE criterion is rel-err <= 1e-5 vs
@@ -59,29 +61,30 @@ def native_eval(name, horizon):
     return params, np.asarray(dms.positions), out
 
 
-def jax_f64_eval(params, pos, horizon):
-    import numpy as np
-
-    from openmm_agbnp_plugin_tpu.models.agbnp_jax import AGBNPModel
-
-    m = AGBNPModel(params, version=1, dtype=np.float64, pair_kernel=False,
-                   positions=pos, cutoff=CUTOFF,
-                   descreen_horizon=horizon)
-    e, f = m.energy_forces(pos)
-    return float(e), np.asarray(f)
-
-
-def tpu_f32_subprocess(name, horizon_mode):
-    """Run the deployment path (f32, Pallas kernels + tile lists) on
-    whatever accelerator jax finds, in a clean subprocess; returns
-    (energy, force) or None if no accelerator."""
+def _eval_subprocess(name, horizon_mode, mode):
+    """Evaluate one system in a clean subprocess.  mode "f64": forced-CPU
+    x64 XLA path (pair_kernel off); mode "tpu": deployment path (f32,
+    Pallas kernels + tile lists) on whatever accelerator jax finds.
+    Returns (energy, force) or None."""
+    fp = f"/tmp/parity_f_{mode}.npy"
+    if mode == "f64":
+        setup = ("import jax\n"
+                 "jax.config.update('jax_enable_x64', True)\n")
+        model = ("m = AGBNPModel(params, version=1, dtype=np.float64, "
+                 f"pair_kernel=False, positions=pos, cutoff={CUTOFF}, "
+                 f"descreen_horizon={horizon_mode!r})")
+    else:
+        setup = ("import jax\n"
+                 "if jax.default_backend() == 'cpu':\n"
+                 "    print('NOACC'); raise SystemExit\n")
+        model = ("m = AGBNPModel(params, version=1, dtype=np.float32, "
+                 f"pair_kernel=True, positions=pos, cutoff={CUTOFF}, "
+                 f"descreen_horizon={horizon_mode!r})")
     code = f"""
-import json, sys, os
+import sys, os
 sys.path.insert(0, {ROOT!r})
 import numpy as np
-import jax
-if jax.default_backend() == "cpu":
-    print("NOACC"); sys.exit(0)
+{setup}
 from openmm_agbnp_plugin_tpu.io.dms import load_dms
 from openmm_agbnp_plugin_tpu.models.agbnp_jax import AGBNPModel
 from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
@@ -90,30 +93,29 @@ params = AGBNPParams(radius=dms.agbnp_radius, gamma=dms.agbnp_gamma,
                      alpha=dms.agbnp_alpha, charge=dms.charges,
                      ishydrogen=dms.ishydrogen)
 pos = np.asarray(dms.positions)
-m = AGBNPModel(params, version=1, dtype=np.float32, pair_kernel=True,
-               positions=pos, cutoff={CUTOFF},
-               descreen_horizon={horizon_mode!r})
+{model}
 e, f = m.energy_forces(pos)
-np.save("/tmp/parity_f.npy", np.asarray(f))
+np.save({fp!r}, np.asarray(f))
 print("E", float(e))
 """
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
+    if mode == "f64":
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        env.pop("JAX_PLATFORMS", None)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=1800, env=env)
+                       text=True, timeout=2400, env=env)
     outlines = [ln for ln in r.stdout.splitlines() if ln]
-    if r.returncode != 0 or not outlines or outlines[-1] == "NOACC":
+    if r.returncode != 0 or not outlines or outlines[-1] == "NOACC"             or not outlines[-1].startswith("E "):
         return None
     import numpy as np
 
     e = float(outlines[-1].split()[1])
-    f = np.load("/tmp/parity_f.npy")
+    f = np.load(fp)
     return e, f
 
 
 def main():
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    os.environ["JAX_ENABLE_X64"] = "true"
     tag = sys.argv[1] if len(sys.argv) > 1 else "r03"
     report = {"cutoff_nm": CUTOFF, "criterion":
               "deployment (tpu_f32) rel force err vs native f64 <= 1e-5"}
@@ -124,15 +126,17 @@ def main():
             params, pos, nat = native_eval(name, horizon)
             entry = {"natoms": int(params.n),
                      "native_energy": nat["energy"]}
-            if name in JAX_F64_SYSTEMS:
-                e64, f64 = jax_f64_eval(params, pos, horizon)
-                entry["jax_f64_energy"] = e64
-                entry["jax_f64_vs_native_rel_e"] = (
-                    abs(e64 - nat["energy"]) / abs(nat["energy"]))
-                entry["jax_f64_vs_native_force"] = _force_err(
-                    f64, nat["force"])
             hz = "cutoff" if hname == "cutoff" else None
-            acc = tpu_f32_subprocess(name, hz)
+            if name in JAX_F64_SYSTEMS:
+                r64 = _eval_subprocess(name, hz, "f64")
+                if r64 is not None:
+                    e64, f64 = r64
+                    entry["jax_f64_energy"] = e64
+                    entry["jax_f64_vs_native_rel_e"] = (
+                        abs(e64 - nat["energy"]) / abs(nat["energy"]))
+                    entry["jax_f64_vs_native_force"] = _force_err(
+                        f64, nat["force"])
+            acc = _eval_subprocess(name, hz, "tpu")
             if acc is not None:
                 e32, f32 = acc
                 entry["tpu_f32_energy"] = e32

@@ -201,6 +201,71 @@ def _atomic_cavity_bwd(res, cots):
 _atomic_cavity.defvjp(_atomic_cavity_fwd, _atomic_cavity_bwd)
 
 
+@jax.custom_vjp
+def _ms_cavity(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f, topo_ms):
+    """Both MS-tree passes with the analytic reverse rule.
+
+    Same machinery as _atomic_cavity, plus the VOLUME cotangents: the MS
+    free volumes are themselves functions of the atoms, so bwd returns
+    d/d(fv) through reduce_tree's dv channel (dE/dV_level1, the
+    volume-sensitivity chain the reference derives by hand) alongside the
+    d/d(ms_pos) gamma-pass gradients.  Returns (e_vdw_tree, e_large_tree,
+    sv_ms)."""
+    out, _ = _ms_cavity_fwd(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f,
+                            topo_ms)
+    return out
+
+
+def _ms_lvl1(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f):
+    radw = SOLVENT_RADIUS
+    n_ms = ms_pos.shape[0]
+    radv = jnp.full(n_ms, radw, ms_pos.dtype)
+    ish = ish_ms_f.astype(jnp.int32)
+    lvl1_v = T.make_level1(ms_pos, radv, fv_vdw, gamma_ms, ish)
+    lvl1_l = T.make_level1(ms_pos, radv, fv_large, -gamma_ms, ish)
+    return lvl1_v, lvl1_l
+
+
+def _ms_cavity_fwd(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f, topo_ms):
+    lvl1_v, lvl1_l = _ms_lvl1(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f)
+    levels_v, levels_l = T.rescan_volumes2(topo_ms, lvl1_v, lvl1_l)
+    red_v = T.reduce_tree(levels_v, lvl1_v, with_selfvol=True)
+    red_l = T.reduce_tree(levels_l, lvl1_l, with_selfvol=False)
+    out = (red_v["energy"], red_l["energy"], red_v["self_volume"])
+    return out, (ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f, topo_ms)
+
+
+def _ms_cavity_bwd(res, cots):
+    ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f, topo_ms = res
+    g2, g1, w = cots
+    lvl1_v, lvl1_l = _ms_lvl1(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f)
+    levels_v, levels_l = T.rescan_volumes2(topo_ms, lvl1_v, lvl1_l)
+    gam_v = {**lvl1_v, "gamma1i": g2 * gamma_ms + w}
+    gam_l = {**lvl1_l, "gamma1i": -g1 * gamma_ms}
+    red_v = T.reduce_tree(T.rescan_gammas(levels_v, gam_v), gam_v,
+                          with_selfvol=False, with_dv=True)
+    red_l = T.reduce_tree(T.rescan_gammas(levels_l, gam_l), gam_l,
+                          with_selfvol=False, with_dv=True)
+
+    # the reduce dv channel is V_i * dE/dV_i (an n-body Gaussian product
+    # volume is LINEAR in each constituent volume, so V dgvol/dV == gvol
+    # exactly; the chain accumulates gvol-weighted sfp terms).  Divide by
+    # the level-1 volume for the plain dE/d(fv) cotangent; zero-volume
+    # (masked/padded) particles contribute nothing downstream either.
+    def dvol(red, lvl1):
+        gv = lvl1["gv"]
+        return jnp.where(gv > 0.0, red["dv"] / jnp.where(gv > 0.0, gv, 1.0),
+                         0.0)
+
+    return (red_v["dr"] + red_l["dr"], dvol(red_v, lvl1_v),
+            dvol(red_l, lvl1_l), jax.tree.map(_zero_cot, gamma_ms),
+            jax.tree.map(_zero_cot, ish_ms_f),
+            jax.tree.map(_zero_cot, topo_ms))
+
+
+_ms_cavity.defvjp(_ms_cavity_fwd, _ms_cavity_bwd)
+
+
 def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                   ms_pi, ms_pj, ms_pv, cap_ms, ms_kmax, common_gamma,
                   cutoff=None, topology=None, with_topology: bool = False):
@@ -250,34 +315,39 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     fv_vdw = ms_free_volumes(ms, pos, a["radii_vdw"],
                              sv_vdw, a["ishydrogen"])
 
-    # MS overlap tree built at vdW free volumes
+    # MS overlap trees (both parameterizations through one analytic-VJP
+    # cavity pass, _ms_cavity; the build carries no gradient path)
     n_ms = cap_ms
     gamma_ms = jnp.full(n_ms, -common_gamma / roffset, pos.dtype)
-    lvl1_ms = T.make_level1(ms["pos"], jnp.full(n_ms, radw, pos.dtype),
-                            fv_vdw, gamma_ms, 1 - ms["valid"].astype(jnp.int32))
+    ish_ms = 1 - ms["valid"].astype(jnp.int32)
     if topology is None:
+        lvl1_ms = T.make_level1(ms["pos"], jnp.full(n_ms, radw, pos.dtype),
+                                fv_vdw, gamma_ms, ish_ms)
         mpi, mpj, mpv, m_nbmax = half_neighbor_pairs(ms["pos"], ms["valid"],
                                                      tree_pair_cutoff([radw]),
                                                      ms_kmax)
         mlevels, mdiag = T.build_tree(lvl1_ms, mpi, mpj, caps_ms,
                                       pairs_valid=mpv)
+        topo_ms = T.tree_topology(mlevels)
         # MS-capacity overflow channels (count vs cap_ms truncation, MS-tree
         # neighbor list) ride the diagnostics for the MD PanicButton
         mdiag = {**mdiag, "ms_count": ms["count"], "ms_nbmax": m_nbmax}
     else:
-        mlevels = T.rescan_volumes(topology["ms"], lvl1_ms)
+        topo_ms = topology["ms"]
         mdiag = dict(
             counts=jnp.stack([jnp.sum(t["valid"])
-                              for t in topology["ms"]]).astype(jnp.int32),
+                              for t in topo_ms]).astype(jnp.int32),
             max_siblings=jnp.zeros(7, jnp.int32),
             ms_count=ms["count"], ms_nbmax=jnp.zeros((), jnp.int32))
-    mred2 = T.reduce_tree(mlevels, lvl1_ms, with_selfvol=True)
-    energy = energy + mred2["energy"]
+    e_ms_vdw, e_ms_large, sv_ms = _ms_cavity(
+        ms["pos"], fv_vdw, fv_large, gamma_ms, ish_ms.astype(pos.dtype),
+        topo_ms)
+    energy = energy + e_ms_vdw
 
     # MS self volumes added 50/50 to parents
-    svadd = (0.5 * jax.ops.segment_sum(mred2["self_volume"], ms["p1"],
+    svadd = (0.5 * jax.ops.segment_sum(sv_ms, ms["p1"],
                                        num_segments=pos.shape[0])
-             + 0.5 * jax.ops.segment_sum(mred2["self_volume"], ms["p2"],
+             + 0.5 * jax.ops.segment_sum(sv_ms, ms["p2"],
                                          num_segments=pos.shape[0]))
     self_volume = sv_vdw + svadd
 
@@ -291,22 +361,17 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     e_vdw = B.vdw_energy(a["alpha"], br)
     energy = energy + gb["gb_self"] + gb["gb_pair"] + e_vdw
 
-    # MS pass with large-radii free volumes
-    lvl1_ms_l = T.make_level1(ms["pos"], jnp.full(n_ms, radw, pos.dtype),
-                              fv_large, -gamma_ms,
-                              1 - ms["valid"].astype(jnp.int32))
-    mlevels_l = T.rescan_volumes(mlevels, lvl1_ms_l)
-    mred1 = T.reduce_tree(mlevels_l, lvl1_ms_l, with_selfvol=False)
-    energy = energy + mred1["energy"]
+    # MS pass with large-radii free volumes (second output of _ms_cavity)
+    energy = energy + e_ms_large
 
     details = dict(e_vol1=e_vol1, e_vol2=e_vol2,
-                   e_ms_vdw=mred2["energy"], e_ms_large=mred1["energy"],
+                   e_ms_vdw=e_ms_vdw, e_ms_large=e_ms_large,
                    gb_self=gb["gb_self"], gb_pair=gb["gb_pair"], e_vdw=e_vdw,
                    num_ms=ms["count"], self_volume=self_volume,
                    born_radius=br)
     if with_topology:
         topo = dict(atoms=topo_atoms,
-                    ms=T.tree_topology(mlevels),
+                    ms=topo_ms,
                     ms_idx=ms["idx"], ms_count=ms["count"])
         return energy, (diag, mdiag), details, topo
     return energy, (diag, mdiag), details
