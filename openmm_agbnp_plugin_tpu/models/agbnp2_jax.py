@@ -174,8 +174,8 @@ def _make_lvl1(pos, lvl1_args):
 def _atomic_cavity_fwd(pos, lvl1_args, topo):
     lvl1_large, lvl1_vdw = _make_lvl1(pos, lvl1_args)
     levels_l, levels_v = T.rescan_volumes2(topo, lvl1_large, lvl1_vdw)
-    red1 = T.reduce_tree(levels_l, lvl1_large, with_selfvol=True)
-    red2 = T.reduce_tree(levels_v, lvl1_vdw, with_selfvol=True)
+    red1, red2 = T.reduce_tree2(levels_l, levels_v, lvl1_large, lvl1_vdw,
+                                with_selfvol_b=True, with_selfvol_a=True)
     out = (red1["energy"], red2["energy"], red1["self_volume"],
            red2["self_volume"])
     return out, (pos, lvl1_args, topo)
@@ -189,10 +189,9 @@ def _atomic_cavity_bwd(res, cots):
     gdr = lvl1_args[4]
     gam_l = {**lvl1_large, "gamma1i": g1 * gdr + w_l}
     gam_v = {**lvl1_vdw, "gamma1i": -g2 * gdr + w_v}
-    red_l = T.reduce_tree(T.rescan_gammas(levels_l, gam_l), gam_l,
-                          with_selfvol=False)
-    red_v = T.reduce_tree(T.rescan_gammas(levels_v, gam_v), gam_v,
-                          with_selfvol=False)
+    red_l, red_v = T.reduce_tree2(T.rescan_gammas(levels_l, gam_l),
+                                  T.rescan_gammas(levels_v, gam_v),
+                                  gam_l, gam_v, with_selfvol_b=False)
     dpos = red_l["dr"] + red_v["dr"]
     return (dpos, jax.tree.map(_zero_cot, res[1]),
             jax.tree.map(_zero_cot, topo))
@@ -229,8 +228,8 @@ def _ms_lvl1(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f):
 def _ms_cavity_fwd(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f, topo_ms):
     lvl1_v, lvl1_l = _ms_lvl1(ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f)
     levels_v, levels_l = T.rescan_volumes2(topo_ms, lvl1_v, lvl1_l)
-    red_v = T.reduce_tree(levels_v, lvl1_v, with_selfvol=True)
-    red_l = T.reduce_tree(levels_l, lvl1_l, with_selfvol=False)
+    red_l, red_v = T.reduce_tree2(levels_l, levels_v, lvl1_l, lvl1_v,
+                                  with_selfvol_b=True)
     out = (red_v["energy"], red_l["energy"], red_v["self_volume"])
     return out, (ms_pos, fv_vdw, fv_large, gamma_ms, ish_ms_f, topo_ms)
 

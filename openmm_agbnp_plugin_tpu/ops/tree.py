@@ -923,6 +923,7 @@ def rescan_volumes2(levels, level1_a, level1_b,
 
 def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
                  with_selfvol_b: bool = True,
+                 with_selfvol_a: bool = False,
                  comm: TreeComm | None = None):
     """Bottom-up reduction of two same-topology trees in one sweep.
 
@@ -955,6 +956,8 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
             cols += [jnp.zeros_like(gsfp)] * 3
         if with_selfvol_b:
             cols.append(volcoeffp * lb["volume"])
+        if with_selfvol_a:
+            cols.append(volcoeffp * la["volume"])
         tot = jnp.stack(cols, axis=1) * vmask[:, None]
         if acc is not None:
             tot = tot + acc
@@ -970,9 +973,13 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
             dep_cols.append((-lv["dv1"]) * e_f[:, None] + e_p * (ai / safe)[:, None])
             p_out = lv["dv1"] * e_f[:, None] + e_p * ((a1i - ai) / safe)[:, None]
             ups += [tot[:, base:base + 1], (lv["dvv1"] * e_f)[:, None], p_out]
+        i_sva = 10 + (1 if with_selfvol_b else 0)
         if with_selfvol_b:
             dep_cols.append(tot[:, 10:11])
             ups.append(tot[:, 10:11])
+        if with_selfvol_a:
+            dep_cols.append(tot[:, i_sva:i_sva + 1])
+            ups.append(tot[:, i_sva:i_sva + 1])
         dep_rows.append(jnp.concatenate(dep_cols, axis=1) * vmask[:, None])
         dep_atoms.append(la["atom"])
 
@@ -1001,4 +1008,9 @@ def reduce_tree2(levels_a, levels_b, level1_a, level1_b,
     if with_selfvol_b:
         results[1]["self_volume"] = (level1_b["gv"] + acc[:, 10]
                                      + deposits[:, 6])
+    if with_selfvol_a:
+        i_sva = 10 + (1 if with_selfvol_b else 0)
+        results[0]["self_volume"] = (
+            level1_a["gv"] + acc[:, i_sva]
+            + deposits[:, 6 + (1 if with_selfvol_b else 0)])
     return results[0], results[1]
