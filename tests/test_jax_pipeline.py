@@ -341,3 +341,52 @@ def test_descreen_horizon_pallas_matches_xla(gaussvol_system):
     assert np.abs(f1 - f0).max() <= 3e-6 * np.abs(f0).max()
     # the 1 nm truncation is a real (small) physics change vs 2 nm
     assert abs(float(er) - float(e0)) > 1e-3
+
+
+def test_reduce_tree2_selfvol_a_channel():
+    """reduce_tree2's with_selfvol_a channel (added for the fused AGBNP2
+    cavity custom_vjp forwards) must equal per-tree reduce_tree
+    self-volumes exactly on both parameterizations."""
+    import jax.numpy as jnp
+
+    from openmm_agbnp_plugin_tpu.models.agbnp_jax import prepare_arrays
+    from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+    from openmm_agbnp_plugin_tpu.ops import tree as T
+
+    rng = np.random.default_rng(3)
+    g = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)
+    pos = 0.28 * g + 0.03 * rng.standard_normal((64, 3))
+    ish = (np.arange(64) % 3 == 2).astype(np.int64)
+    params = AGBNPParams(radius=np.where(ish > 0, 0.12, 0.16),
+                         gamma=np.where(ish > 0, 0.0, 48.9528),
+                         alpha=np.where(ish > 0, -20.0, -60.0),
+                         charge=rng.uniform(-0.3, 0.3, 64), ishydrogen=ish)
+    a = prepare_arrays(params)
+    posj = jnp.asarray(pos)
+    gdr = jnp.asarray(a["gamma"]) / params.roffset
+    l1a = T.make_level1(posj, jnp.asarray(a["radii_large"]),
+                        jnp.asarray(a["vol_large"]), gdr,
+                        jnp.asarray(a["ishydrogen"]))
+    l1b = T.make_level1(posj, jnp.asarray(a["radii_vdw"]),
+                        jnp.asarray(a["vol_vdw"]), -gdr,
+                        jnp.asarray(a["ishydrogen"]))
+    caps = T.TreeCaps.for_natoms(64, boost=1.5)
+    levels, _ = jax.jit(lambda: T.build_tree(
+        l1a, a["pairs_i"], a["pairs_j"], caps,
+        pairs_valid=a["pairs_valid"]))()
+    la, lb = T.rescan_volumes2(T.tree_topology(levels), l1a, l1b)
+    ra, rb = T.reduce_tree2(la, lb, l1a, l1b, with_selfvol_b=True,
+                            with_selfvol_a=True)
+    ref_a = T.reduce_tree(la, l1a, with_selfvol=True)
+    ref_b = T.reduce_tree(lb, l1b, with_selfvol=True)
+    np.testing.assert_allclose(np.asarray(ra["self_volume"]),
+                               np.asarray(ref_a["self_volume"]),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(rb["self_volume"]),
+                               np.asarray(ref_b["self_volume"]),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(float(ra["energy"]), float(ref_a["energy"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(rb["energy"]), float(ref_b["energy"]),
+                               rtol=1e-12)
