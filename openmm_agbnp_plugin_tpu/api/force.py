@@ -38,6 +38,7 @@ class AGBNPForce:
         self._cutoff = 1.0
         self._version = 1
         self._solvent_radius = SOLVENT_RADIUS
+        self._force_group = 0
 
     # -- particle table (AGBNPForce.h:61-103) ------------------------------
 
@@ -84,6 +85,19 @@ class AGBNPForce:
 
     def getSolventRadius(self) -> float:
         return self._solvent_radius
+
+    def setForceGroup(self, group: int):
+        """Force-group index in [0, 31] (the OpenMM Force base-class
+        semantics the reference inherits; AGBNPForceImpl evaluates only
+        when the group bit is in the caller's mask,
+        openmmapi/src/AGBNPForceImpl.cpp:32-36)."""
+        group = int(group)
+        if not 0 <= group <= 31:
+            raise ValueError("force group must be between 0 and 31")
+        self._force_group = group
+
+    def getForceGroup(self) -> int:
+        return self._force_group
 
     # -- binding -----------------------------------------------------------
 
@@ -226,3 +240,48 @@ class Context:
             if not self._model.check_and_grow(out["diag"]):
                 return e, f
         raise RuntimeError("overlap tree capacities failed to converge")
+
+    def getEnergy(self):
+        """Energy-only evaluation.  Skips the WU gamma-rescan tree pass
+        entirely (that pass carries force only; the energy never depends on
+        it) — the includeForces=False path of the reference's
+        AGBNPForceImpl::calcForcesAndEnergy
+        (openmmapi/src/AGBNPForceImpl.cpp:32-36)."""
+        if self._positions is None:
+            raise ValueError("call setPositions first")
+        if self._force.getVersion() == 2:
+            e, _ = self.getEnergyForces()
+            return e
+        for _ in range(8):
+            e, out = self._model.energy_only(self._positions,
+                                             with_details=True)
+            if not self._model.check_and_grow(out["diag"]):
+                return e
+        raise RuntimeError("overlap tree capacities failed to converge")
+
+    def getForces(self):
+        """Forces-only evaluation (includeEnergy=False).  The analytic
+        force chain subsumes every energy intermediate, so this is the full
+        evaluation returning only the force array."""
+        _, f = self.getEnergyForces()
+        return f
+
+    def calcForcesAndEnergy(self, includeForces: bool = True,
+                            includeEnergy: bool = True, groups: int = -1):
+        """Flagged evaluation with a force-group mask — the exact surface
+        of AGBNPForceImpl::calcForcesAndEnergy (reference
+        openmmapi/src/AGBNPForceImpl.cpp:32-36): the force contributes only
+        when bit getForceGroup() is set in `groups`; the return is
+        (energy, forces) with energy 0.0 when not included and forces all
+        zero when not included (the reference adds nothing to the force
+        buffer in those cases)."""
+        n = self._force.getNumParticles()
+        zeros = np.zeros((n, 3))
+        if (int(groups) & (1 << self._force.getForceGroup())) == 0:
+            return 0.0, zeros
+        if includeForces:
+            e, f = self.getEnergyForces()
+            return (e if includeEnergy else 0.0), np.asarray(f)
+        if includeEnergy:
+            return self.getEnergy(), zeros
+        return 0.0, zeros

@@ -172,6 +172,12 @@ def wu_impulse_langevin_block(split_force_fn, skip_force_fn, masses, dt,
     Returns a scan-compatible block step over (pos, vel, key) emitting
     (energies [k], counts_max) per block.  The reported per-step energies
     are exact: the WU pass contributes force only, never energy.
+
+    Boundary note: the full k*dt impulse is applied at block START rather
+    than as symmetric k/2 half-kicks at block boundaries; under the
+    Langevin thermostat the first/last-block asymmetry is benign (it is a
+    single-kick phase offset, bounded by the validated wu-force smoothness)
+    but this splitting is not NVE-grade time-symmetric.
     """
     a = jnp.exp(-friction * dt)
     b = jnp.sqrt(1.0 - a * a)

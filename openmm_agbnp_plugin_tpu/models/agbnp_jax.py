@@ -703,12 +703,34 @@ class AGBNPModel:
             descreen_horizon=self.descreen_horizon,
             pair_tiles=self.pair_tiles))
         self._jit_vef = None  # batched variant rebuilt lazily after regrow
+        self._jit_e = None    # energy-only variant (wu_mode="skip"), lazy
 
     def energy_forces(self, pos, with_details: bool = False):
         out = self._jit_ef(self.arrays, jnp.asarray(pos, self.dtype))
         if with_details:
             return out["energy"], out["force"], out
         return out["energy"], out["force"]
+
+    def energy_only(self, pos, with_details: bool = False):
+        """Energy without the WU gamma-rescan force pass (the pass carries
+        force only — the includeForces=False evaluation path of
+        AGBNPForceImpl::calcForcesAndEnergy, reference
+        openmmapi/src/AGBNPForceImpl.cpp:32-36)."""
+        if self._jit_e is None:
+            self._jit_e = jax.jit(partial(
+                energy_forces, caps=self.caps, version=self.version,
+                roffset=self.params.roffset, ntypes_j=self.ntypes_j,
+                cutoff=self.cutoff, mixed=self.mixed,
+                neighbor_rcut=self.neighbor_rcut,
+                neighbor_kmax=self.neighbor_kmax,
+                neighbor_grid=self.neighbor_grid, box=self.box,
+                pair_pad=self.pair_pad, pair_interpret=self.pair_interpret,
+                descreen_horizon=self.descreen_horizon,
+                pair_tiles=self.pair_tiles, wu_mode="skip"))
+        out = self._jit_e(self.arrays, jnp.asarray(pos, self.dtype))
+        if with_details:
+            return out["energy"], out
+        return out["energy"]
 
     def batched_energy_forces(self, pos_batch):
         """Evaluate B conformations [B, N, 3] of the same system in one

@@ -33,40 +33,38 @@ def i4(rij: float, Ri: float, Rj: float) -> float:
     """Analytic integral of 1/r^4 over sphere j outside sphere i.
 
     Three branches: separated / overlapping / included, with a removable
-    singularity expansion at small rij (reference AGBNPUtils.cpp:34-85).
+    singularity expansion at small rij (the same published integral the
+    reference tabulates, AGBNPUtils.cpp:34-85; branch boundaries must match
+    so the spline tables reproduce the reference values node-for-node).
     """
-    rij2 = rij * rij
     if rij > (Ri + Rj):
-        u1 = rij + Rj
-        u2 = rij - Rj
-        u3 = u1 * u2
-        u4 = 0.5 * math.log(u1 / u2)
-        return TWOPI * (Rj / u3 - u4 / rij)
-    u1 = Rj - Ri
-    if rij2 > u1 * u1:
-        # overlap
-        u1 = rij + Rj
-        u2 = rij - Rj
-        u3 = u1 * u2
-        u4 = 1.0 / u1
-        u4sq = u4 * u4
-        u5 = 1.0 / Ri
-        u5sq = u5 * u5
-        u6 = 0.5 * math.log(u1 / Ri)
-        return TWOPI * (-(u4 - u5) + (0.25 * u3 * (u4sq - u5sq) - u6) / rij)
-    # inclusion
+        # spheres fully separated
+        far = rij + Rj
+        near = rij - Rj
+        half_log = 0.5 * math.log(far / near)
+        return TWOPI * (Rj / (far * near) - half_log / rij)
+    dR = Rj - Ri
+    if rij * rij > dR * dR:
+        # spheres overlap: integrate from the surface of sphere i outward
+        far = rij + Rj
+        inv_far = 1.0 / far
+        inv_Ri = 1.0 / Ri
+        quad = 0.25 * (far * (rij - Rj)) * (inv_far * inv_far - inv_Ri * inv_Ri)
+        half_log = 0.5 * math.log(far * inv_Ri)
+        return TWOPI * ((inv_Ri - inv_far) + (quad - half_log) / rij)
+    # one sphere contains the other
     if Ri > Rj:
         return 0.0
-    u1 = rij + Rj
-    u2 = Rj - rij
-    u3 = -u1 * u2  # rij^2 - Rj^2
+    far = rij + Rj
+    near = Rj - rij
+    diff2 = -far * near  # rij^2 - Rj^2
     if rij < 0.001 * Rj:
         # removable singularity of (1/2a) log((1+a)/(1-a)) at a = 0
         a = rij / Rj
-        u6 = (1.0 + TWOTHIRDS * a * a) / Rj
-        return TWOPI * (2.0 / Ri + Rj / u3 - u6)
-    u6 = 0.5 * math.log(u1 / u2)
-    return TWOPI * (2.0 / Ri + Rj / u3 - u6 / rij)
+        log_term_over_r = (1.0 + TWOTHIRDS * a * a) / Rj
+        return TWOPI * (2.0 / Ri + Rj / diff2 - log_term_over_r)
+    half_log = 0.5 * math.log(far / near)
+    return TWOPI * (2.0 / Ri + Rj / diff2 - half_log / rij)
 
 
 def _ogauss(d2, pi_, pj, ai, aj):

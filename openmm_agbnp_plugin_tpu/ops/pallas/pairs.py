@@ -58,7 +58,15 @@ def pick_tile(n: int) -> int:
 
     env = os.environ.get("AGBNP_PAIR_TILE")
     if env:
-        return int(env)
+        tile = int(env)
+        # reject unsupported overrides up front: a tile that is not a
+        # positive multiple of the 128-lane register width would surface as
+        # an opaque shape/padding mismatch inside the Pallas kernels
+        if tile <= 0 or tile % 128 != 0:
+            raise ValueError(
+                f"AGBNP_PAIR_TILE={env!r}: pair tile must be a positive "
+                "multiple of 128 (e.g. 128 or 256)")
+        return tile
     return 128 if n <= 1024 else 256
 
 

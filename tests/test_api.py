@@ -88,6 +88,58 @@ def test_context_v2_golden(gaussvol_system):
     assert np.isfinite(np.asarray(f)).all()
 
 
+def test_force_group_roundtrip():
+    f = AGBNPForce()
+    assert f.getForceGroup() == 0
+    f.setForceGroup(5)
+    assert f.getForceGroup() == 5
+    with pytest.raises(ValueError):
+        f.setForceGroup(32)
+    with pytest.raises(ValueError):
+        f.setForceGroup(-1)
+
+
+def test_calc_forces_and_energy_flags(gaussvol_system):
+    """Flagged evaluation semantics of AGBNPForceImpl::calcForcesAndEnergy
+    (reference openmmapi/src/AGBNPForceImpl.cpp:32-36): the group mask gates
+    the whole evaluation; includeEnergy/includeForces gate the outputs; the
+    energy-only path (which skips the WU force pass) returns exactly the
+    full evaluation's energy."""
+    params, pos = gaussvol_system
+    force = _build_force(params, pos, version=1)
+    force.setForceGroup(3)
+    ctx = Context(force, dtype=np.float64)
+    ctx.setPositions(pos)
+    e_full, f_full = ctx.getEnergyForces()
+
+    # group excluded from mask: no contribution at all
+    e, f = ctx.calcForcesAndEnergy(groups=1 << 2)
+    assert e == 0.0 and not np.any(f)
+
+    # group included: full value
+    e, f = ctx.calcForcesAndEnergy(groups=1 << 3)
+    assert float(e) == pytest.approx(float(e_full), rel=1e-14)
+    np.testing.assert_allclose(f, np.asarray(f_full), rtol=1e-14)
+    e, f = ctx.calcForcesAndEnergy()  # default mask -1 includes every group
+    assert float(e) == pytest.approx(float(e_full), rel=1e-14)
+
+    # energy-only: identical energy (the WU pass carries force only)
+    e, f = ctx.calcForcesAndEnergy(includeForces=False)
+    assert float(e) == pytest.approx(float(e_full), rel=1e-12)
+    assert not np.any(f)
+    assert float(ctx.getEnergy()) == pytest.approx(float(e_full), rel=1e-12)
+
+    # forces-only: zero energy, full forces
+    e, f = ctx.calcForcesAndEnergy(includeEnergy=False)
+    assert e == 0.0
+    np.testing.assert_allclose(f, np.asarray(f_full), rtol=1e-14)
+    np.testing.assert_allclose(ctx.getForces(), np.asarray(f_full),
+                               rtol=1e-14)
+
+    e, f = ctx.calcForcesAndEnergy(includeForces=False, includeEnergy=False)
+    assert e == 0.0 and not np.any(f)
+
+
 @pytest.mark.slow
 def test_update_parameters_in_context(gaussvol_system):
     """updateParametersInContext (AGBNPForce.cpp:76-78): edited particle
