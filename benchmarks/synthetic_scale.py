@@ -80,7 +80,8 @@ def run(natoms: int, repeats: int = 10):
     return dt
 
 
-def run_md(natoms: int, nsteps: int = 100):
+def run_md(natoms: int, nsteps: int = 100, scan_unroll: int = None,
+           neighbor_every: int = 20, pair_tiles=None):
     """Full MD loop at synthetic scale: Langevin under the fused scan with
     on-device neighbor rebuilds, stale-topology rescans and PanicButton
     overflow recovery — Simulation duck-types the dms object, so a
@@ -99,10 +100,17 @@ def run_md(natoms: int, nsteps: int = 100):
         masses=np.where(ish > 0, 1.008, 12.011))
     t0 = time.time()
     sim = Simulation(sysns, version=1, cutoff=1.0, dtype=dtype,
-                     include_mm=False)
-    print(f"n={natoms} MD init {time.time()-t0:.1f}s", flush=True)
+                     include_mm=False, pair_tiles=pair_tiles)
+    print(f"n={natoms} MD init {time.time()-t0:.1f}s "
+          f"tiles={sim.agbnp.pair_tiles}", flush=True)
+    if scan_unroll is None:
+        # large systems: unroll=1 keeps the runner program (and its
+        # server-side compile on the remote-TPU backend) a quarter the size;
+        # the unroll win is a small-system effect (see make_langevin_runner)
+        scan_unroll = 1 if natoms > 8000 else 4
     res = sim.benchmark_langevin(nsteps=nsteps, dt=0.001, temperature=300.0,
-                                 neighbor_every=20)
+                                 neighbor_every=neighbor_every,
+                                 scan_unroll=scan_unroll)
     e = np.asarray(res["energies"])
     assert np.isfinite(e).all()
     print(f"  MD {nsteps} steps: {res['ns_day']:.3f} ns/day "
@@ -113,6 +121,10 @@ def run_md(natoms: int, nsteps: int = 100):
 
 if __name__ == "__main__":
     md = "--md" in sys.argv
+    notiles = "--notiles" in sys.argv
     sizes = [int(x) for x in sys.argv[1:] if not x.startswith("-")] or [10240]
     for n in sizes:
-        (run_md if md else run)(n)
+        if md:
+            run_md(n, pair_tiles=(False if notiles else None))
+        else:
+            run(n)

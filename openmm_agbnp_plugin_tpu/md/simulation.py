@@ -348,13 +348,15 @@ class Simulation:
         _, diags, _, topo = agbnp2_energy(
             a2, pos, m2.caps, m2.caps_ms, m2.params.roffset, m2.ntypes_j,
             mpi, mpj, mpv, m2.cap_ms, m2.ms_kmax, m2.common_gamma,
-            cutoff=m2.cutoff, with_topology=True)
+            cutoff=m2.cutoff, with_topology=True,
+            ms_sub_k=m2.ms_sub_k, ms_sub_rcut=m2.ms_sub_rcut,
+            pair_phases=m2.pair_phases)
         d0, d1 = diags
         countsvec = jnp.concatenate([
             d0["counts"].astype(jnp.int32),
             d1["counts"].astype(jnp.int32),
             jnp.stack([d1["ms_count"], d1["ms_nbmax"],
-                       cand_nb]).astype(jnp.int32)])
+                       cand_nb, d1["ms_sub_max"]]).astype(jnp.int32)])
         return (mpi, mpj, mpv), (topo, countsvec)
 
     def _force_fn_v2(self, ms_pairs=None, topology=None):
@@ -385,22 +387,27 @@ class Simulation:
                 e, _, details = agbnp2_energy(
                     a2, pos, m2.caps, m2.caps_ms, m2.params.roffset,
                     m2.ntypes_j, mpi, mpj, mpv, m2.cap_ms, m2.ms_kmax,
-                    m2.common_gamma, cutoff=m2.cutoff, topology=topo)
+                    m2.common_gamma, cutoff=m2.cutoff, topology=topo,
+                    ms_sub_k=m2.ms_sub_k, ms_sub_rcut=m2.ms_sub_rcut,
+                    pair_phases=m2.pair_phases)
                 return e, build_counts
             mpi, mpj, mpv, cand_nb = half_neighbor_pairs(pos, heavy, ms_rcut,
                                                          ms_kmax_list)
             e, diags, details = agbnp2_energy(
                 a2, pos, m2.caps, m2.caps_ms, m2.params.roffset,
                 m2.ntypes_j, mpi, mpj, mpv, m2.cap_ms, m2.ms_kmax,
-                m2.common_gamma, cutoff=m2.cutoff)
+                m2.common_gamma, cutoff=m2.cutoff,
+                ms_sub_k=m2.ms_sub_k, ms_sub_rcut=m2.ms_sub_rcut,
+                pair_phases=m2.pair_phases)
             d0, d1 = diags
-            # [17] overflow vector: main tree [7], MS tree [7], then
-            # (MS particle count, MS-tree neighbor max, candidate-pair max)
+            # [18] overflow vector: main tree [7], MS tree [7], then
+            # (MS particle count, MS-tree neighbor max, candidate-pair max,
+            #  MS subtraction-list max)
             countsvec = jnp.concatenate([
                 d0["counts"].astype(jnp.int32),
                 d1["counts"].astype(jnp.int32),
                 jnp.stack([d1["ms_count"], d1["ms_nbmax"],
-                           cand_nb]).astype(jnp.int32)])
+                           cand_nb, d1["ms_sub_max"]]).astype(jnp.int32)])
             return e, countsvec
 
         def fn(pos):
@@ -741,7 +748,7 @@ class Simulation:
                     or int(nbmax) > self.kmax or wu_over or tiles_over)
 
     def _check_overflow_v2(self, countsvec) -> bool:
-        """AGBNP2 overflow test over the [17] diagnostics vector."""
+        """AGBNP2 overflow test over the [18] diagnostics vector."""
         c = np.asarray(countsvec)
         m2 = self.agbnp2
         return bool(
@@ -749,7 +756,8 @@ class Simulation:
             or (c[7:14] > np.asarray(m2.caps_ms.caps)).any()
             or int(c[14]) > m2.cap_ms
             or int(c[15]) > m2.ms_kmax
-            or int(c[16]) > self.ms_kmax_list)
+            or int(c[16]) > self.ms_kmax_list
+            or (len(c) > 17 and int(c[17]) > m2.ms_sub_k))
 
     def _regrow_v2(self, countsvec, headroom: float = 1.3):
         """PanicButton resize for AGBNP2: regrow the main-tree caps, the
@@ -781,11 +789,14 @@ class Simulation:
             ms_kmax = int(np.ceil(int(c[15]) * 1.5 / 16) * 16)
         if int(c[16]) > self.ms_kmax_list:
             self.ms_kmax_list = int(np.ceil(int(c[16]) * 1.5 / 16) * 16)
+        ms_sub_k = m2.ms_sub_k
+        if len(c) > 17 and int(c[17]) > ms_sub_k:
+            ms_sub_k = int(np.ceil(int(c[17]) * 1.5 / 16) * 16)
         self.agbnp2 = AGBNP2Model(m2.params, dtype=self.dtype,
                                   positions=np.asarray(self.dms.positions),
                                   cutoff=m2.cutoff, caps=caps,
                                   caps_ms=caps_ms, cap_ms=cap_ms,
-                                  ms_kmax=ms_kmax)
+                                  ms_kmax=ms_kmax, ms_sub_k=ms_sub_k)
         self.agbnp = self.agbnp2
 
     def _ensure_vdw_caps(self, relax: float = 0.5, boost: float = 1.5):
@@ -883,7 +894,7 @@ class Simulation:
                seed=0, neighbor_every: int = 20, segment: int | None = None,
                max_regrow: int = 8, pos=None, vel=None, key=None,
                mts_inner: int = 0, report_interval: int = 0, reporter=None,
-               checkpoint_path: str | None = None):
+               checkpoint_path: str | None = None, scan_unroll: int = 4):
         """Langevin MD with automatic PanicButton recovery.
 
         Runs in segments; when a segment overflowed the overlap-tree
@@ -930,7 +941,8 @@ class Simulation:
 
         run = self.make_langevin_runner(dt, temperature, friction,
                                         neighbor_every=neighbor_every,
-                                        mts_inner=mts_inner)
+                                        mts_inner=mts_inner,
+                                        scan_unroll=scan_unroll)
         if key is None:
             key = jax.random.PRNGKey(seed)
         else:
@@ -958,7 +970,8 @@ class Simulation:
                 self._regrow(counts, nbmax, sibs, wu=wu)
                 run = self.make_langevin_runner(dt, temperature, friction,
                                                 neighbor_every=neighbor_every,
-                                                mts_inner=mts_inner)
+                                                mts_inner=mts_inner,
+                                                scan_unroll=scan_unroll)
                 continue  # retry the segment from (pos, vel, key)
             pos, vel, key = new_pos, new_vel, new_key
             energies.append(np.asarray(e))

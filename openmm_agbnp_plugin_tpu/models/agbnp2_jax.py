@@ -106,13 +106,74 @@ def ms_particles(pos, radii_vdw, pi, pj, pvalid, cap_ms, idx=None,
     )
 
 
-def ms_free_volumes(ms, pos, radii, self_volume, ishydrogen):
+def ms_subtraction_horizon(radii_vdw, radii_large, margin: float = 0.1):
+    """Static distance beyond which no atom can contribute to any MS free
+    volume: the subtracted overlap is switched to exact 0 below VOLMINA
+    (pol_switchfunc), and the Gaussian product volume with the largest
+    possible prefactor (max MS seed volume x max atomic self-volume) falls
+    below VOLMINA past this radius.  `margin` absorbs position drift over a
+    stale-topology MD window (the same skin idea as the Verlet list)."""
+    from ..models.constants import VOLMINA
+
+    radw = SOLVENT_RADIUS
+    rmax_vdw = float(np.max(np.asarray(radii_vdw)))
+    vol0_max = VOL_COEFF * (rmax_vdw / radw) ** 2 * sphere_volume(radw)
+    ams = KFC / (radw * radw)
+    dmax = 0.0
+    for r in np.unique(np.asarray(radii_large)):
+        ai = KFC / (r * r)
+        df = ams * ai / (ams + ai)
+        g0 = vol0_max * sphere_volume(r) / (PI / df) ** 1.5
+        if g0 > VOLMINA:
+            dmax = max(dmax, math.sqrt(math.log(g0 / VOLMINA) / df))
+    return dmax + margin
+
+
+def ms_atom_neighbors(ms_pos, ms_valid, pos, heavy, rcut, k: int):
+    """Per-MS-particle padded list of heavy atoms within `rcut` (the
+    subtraction horizon): [cap_ms, k] indices + validity, and the max
+    in-range count (> k means truncation -> overflow channel)."""
+    dist = pos[None, :, :] - ms_pos[:, None, :]
+    d2 = jnp.sum(dist * dist, axis=-1)
+    ok = (heavy[None, :] & (d2 < rcut * rcut) & ms_valid[:, None])
+    order = jnp.argsort(~ok, axis=1, stable=True)[:, :k]
+    nvalid = jnp.take_along_axis(ok, order, axis=1)
+    counts = jnp.sum(ok, axis=1)
+    return order.astype(jnp.int32), nvalid, jnp.max(counts)
+
+
+def ms_free_volumes(ms, pos, radii, self_volume, ishydrogen, nbr=None):
     """Subtract self-volume-weighted atomic Gaussians from each MS sphere
-    (reference cpp:1013-1048).  Dense [cap_ms, N]."""
+    (reference cpp:1013-1048).
+
+    nbr = (idx [cap_ms, k], nvalid [cap_ms, k]) bounds the subtraction to
+    the atoms inside the static horizon (ms_subtraction_horizon) — exact,
+    because every excluded overlap sits below the VOLMINA switch and
+    contributes literal 0 in the dense form too (the TPU-shaped analogue
+    of the reference's tiled MSParticles1Vfree, MSParticles.cl:538-936).
+    Without nbr, the dense [cap_ms, N] form."""
     radw = SOLVENT_RADIUS
     ams = KFC / (radw * radw)
-    ai = KFC / (radii * radii)
+    from ..ops.gaussians import pol_switchfunc
 
+    if nbr is not None:
+        idx, nvalid = nbr
+        p = pos[idx]                       # [cap_ms, k, 3]
+        dist = p - ms["pos"][:, None, :]
+        d2 = jnp.sum(dist * dist, axis=-1)
+        ai = KFC / (radii[idx] * radii[idx])
+        df = ams * ai / (ams + ai)
+        gvol = (ms["vol0"][:, None] * self_volume[idx]
+                / (PI / df) ** 1.5) * jnp.exp(-df * d2)
+        sub_mask = (nvalid
+                    & (idx != ms["p1"][:, None])
+                    & (idx != ms["p2"][:, None]))
+        s, _ = pol_switchfunc(gvol)
+        fv = ms["vol0"] - jnp.sum(jnp.where(sub_mask, s * gvol, 0.0),
+                                  axis=1)
+        return fv * _ms_switch(fv) * ms["valid"].astype(fv.dtype)
+
+    ai = KFC / (radii * radii)
     dist = pos[None, :, :] - ms["pos"][:, None, :]
     d2 = jnp.sum(dist * dist, axis=-1)
     a12 = ams + ai[None, :]
@@ -124,7 +185,6 @@ def ms_free_volumes(ms, pos, radii, self_volume, ishydrogen):
                 & (jnp.arange(pos.shape[0])[None, :] != ms["p2"][:, None]))
     # the subtracted overlaps use the ATOMIC switching window
     # (ogauss_alpha, reference cpp:1038), the free volume itself the MS one
-    from ..ops.gaussians import pol_switchfunc
     s, _ = pol_switchfunc(gvol)
     fv = ms["vol0"] - jnp.sum(jnp.where(sub_mask, s * gvol, 0.0), axis=1)
     return fv * _ms_switch(fv) * ms["valid"].astype(fv.dtype)
@@ -265,9 +325,59 @@ def _ms_cavity_bwd(res, cots):
 _ms_cavity.defvjp(_ms_cavity_fwd, _ms_cavity_bwd)
 
 
+def make_pair_cavity(cutoff, pair_pad: int, pair_interpret: bool,
+                     horizon=None, pair_tiles=None):
+    """GB/vdW pair phases through the fused v1 Pallas tile kernels with an
+    ANALYTIC custom VJP — the v2 analogue of routing AGBNPBornRadii.cl/
+    AGBNPGBEnergy.cl under the hand-derived chain instead of autodiff.
+
+    Forward: _pair_phases_pallas (born sums -> Born radii -> GB self/pair +
+    vdW + direct forces -> BrW/BrU -> descreening sweep), which already
+    produces the exact reverse quantities: pair_force = -dE/dpos at fixed
+    volume scaling factors, and W + U = dE/d(s_factor) (the identity behind
+    the reference's two gamma-rescan force passes,
+    ReferenceAGBNPKernels.cpp:523-586).
+
+    Returns pair_cavity(pos, s_factor, arrays) -> (e_pair, details).
+    NOTE: only the ENERGY output carries a gradient; the details dict
+    (born radii, per-term energies) is reporting-only and its cotangents
+    are discarded (the v2 energy function uses it for details only)."""
+    from .agbnp_jax import _pair_phases_pallas
+
+    def _run(pos, s_factor, pa):
+        pp = _pair_phases_pallas(pa, pos, cutoff, None, pair_pad,
+                                 pair_interpret, horizon=horizon,
+                                 pair_tiles=pair_tiles)(s_factor)
+        e = pp["gb_self"] + pp["gb_pair"] + pp["e_vdw"]
+        det = dict(born_radius=pp["born_radius"], gb_self=pp["gb_self"],
+                   gb_pair=pp["gb_pair"], e_vdw=pp["e_vdw"])
+        return e, det, pp
+
+    @jax.custom_vjp
+    def pair_cavity(pos, s_factor, pa):
+        e, det, _ = _run(pos, s_factor, pa)
+        return e, det
+
+    def _fwd(pos, s_factor, pa):
+        e, det, pp = _run(pos, s_factor, pa)
+        res = (pp["pair_force"], pp["evdw_der_W"] + pp["egb_der_U"], pa)
+        return (e, det), res
+
+    def _bwd(res, cots):
+        pair_force, wu, pa = res
+        g_e, _ = cots  # detail cotangents are zero by construction
+        return (-g_e * pair_force, g_e * wu,
+                jax.tree.map(_zero_cot, pa))
+
+    pair_cavity.defvjp(_fwd, _bwd)
+    return pair_cavity
+
+
 def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                   ms_pi, ms_pj, ms_pv, cap_ms, ms_kmax, common_gamma,
-                  cutoff=None, topology=None, with_topology: bool = False):
+                  cutoff=None, topology=None, with_topology: bool = False,
+                  ms_sub_k: int = 0, ms_sub_rcut: float = 0.0,
+                  pair_phases=None):
     """Total AGBNP2 energy as one jittable function of positions.
 
     topology (from an earlier with_topology=True call at nearby
@@ -304,15 +414,28 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                                                       topo_atoms)
     energy = e_vol1 + e_vol2
 
-    # MS particles + free volumes
+    # MS particles + free volumes.  With ms_sub_k > 0 the subtraction is
+    # bounded to the atoms inside the static horizon (exact — excluded
+    # overlaps sit below the VOLMINA switch); the [cap_ms, k] list is built
+    # here at a full build and frozen into the topology for the window.
     ms = ms_particles(pos, a["radii_vdw"], ms_pi, ms_pj, ms_pv, cap_ms,
                       idx=None if topology is None else topology["ms_idx"],
                       count=None if topology is None
                       else topology["ms_count"])
+    nbr = None
+    ms_sub_max = jnp.zeros((), jnp.int32)
+    if topology is not None:
+        nbr = topology.get("ms_nbr")
+    elif ms_sub_k > 0:
+        idx_n, nvalid_n, ms_sub_max = ms_atom_neighbors(
+            ms["pos"], ms["valid"], pos, a["ishydrogen"] == 0,
+            ms_sub_rcut, ms_sub_k)
+        nbr = (idx_n, nvalid_n)
+        ms_sub_max = ms_sub_max.astype(jnp.int32)
     fv_large = ms_free_volumes(ms, pos, a["radii_large"],
-                               sv_large, a["ishydrogen"])
+                               sv_large, a["ishydrogen"], nbr=nbr)
     fv_vdw = ms_free_volumes(ms, pos, a["radii_vdw"],
-                             sv_vdw, a["ishydrogen"])
+                             sv_vdw, a["ishydrogen"], nbr=nbr)
 
     # MS overlap trees (both parameterizations through one analytic-VJP
     # cavity pass, _ms_cavity; the build carries no gradient path)
@@ -330,14 +453,16 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
         topo_ms = T.tree_topology(mlevels)
         # MS-capacity overflow channels (count vs cap_ms truncation, MS-tree
         # neighbor list) ride the diagnostics for the MD PanicButton
-        mdiag = {**mdiag, "ms_count": ms["count"], "ms_nbmax": m_nbmax}
+        mdiag = {**mdiag, "ms_count": ms["count"], "ms_nbmax": m_nbmax,
+                 "ms_sub_max": ms_sub_max}
     else:
         topo_ms = topology["ms"]
         mdiag = dict(
             counts=jnp.stack([jnp.sum(t["valid"])
                               for t in topo_ms]).astype(jnp.int32),
             max_siblings=jnp.zeros(7, jnp.int32),
-            ms_count=ms["count"], ms_nbmax=jnp.zeros((), jnp.int32))
+            ms_count=ms["count"], ms_nbmax=jnp.zeros((), jnp.int32),
+            ms_sub_max=jnp.zeros((), jnp.int32))
     e_ms_vdw, e_ms_large, sv_ms = _ms_cavity(
         ms["pos"], fv_vdw, fv_large, gamma_ms, ish_ms.astype(pos.dtype),
         topo_ms)
@@ -350,15 +475,24 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
                                          num_segments=pos.shape[0]))
     self_volume = sv_vdw + svadd
 
-    # GB / vdW phases (shared with AGBNP1)
+    # GB / vdW phases (shared with AGBNP1).  With pair_phases (a
+    # make_pair_cavity closure), they run through the fused Pallas tile
+    # kernels with the analytic reverse chain instead of XLA + autodiff.
     s_factor = self_volume / a["vol_vdw_all"]
-    geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
-                        a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
-                        ntypes_j)
-    br = geom["born_radius"]
-    gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff)
-    e_vdw = B.vdw_energy(a["alpha"], br)
-    energy = energy + gb["gb_self"] + gb["gb_pair"] + e_vdw
+    if pair_phases is not None:
+        e_pair, pdet = pair_phases(pos, s_factor, a)
+        br = pdet["born_radius"]
+        gb = dict(gb_self=pdet["gb_self"], gb_pair=pdet["gb_pair"])
+        e_vdw = pdet["e_vdw"]
+        energy = energy + e_pair
+    else:
+        geom = B.born_radii(pos, a["radii_vdw"], s_factor, a["ishydrogen"],
+                            a["type_i"], a["type_j"], a["yflat"],
+                            a["y2flat"], ntypes_j)
+        br = geom["born_radius"]
+        gb = B.gb_energy(pos, a["charge"], br, geom, cutoff=cutoff)
+        e_vdw = B.vdw_energy(a["alpha"], br)
+        energy = energy + gb["gb_self"] + gb["gb_pair"] + e_vdw
 
     # MS pass with large-radii free volumes (second output of _ms_cavity)
     energy = energy + e_ms_large
@@ -371,7 +505,8 @@ def agbnp2_energy(a, pos, caps, caps_ms, roffset, ntypes_j,
     if with_topology:
         topo = dict(atoms=topo_atoms,
                     ms=topo_ms,
-                    ms_idx=ms["idx"], ms_count=ms["count"])
+                    ms_idx=ms["idx"], ms_count=ms["count"],
+                    ms_nbr=nbr)
         return energy, (diag, mdiag), details, topo
     return energy, (diag, mdiag), details
 
@@ -381,7 +516,8 @@ class AGBNP2Model:
 
     def __init__(self, params_in: AGBNPParams, dtype=np.float32,
                  positions=None, cutoff=None, ms_boost: float = 1.6,
-                 caps=None, caps_ms=None, cap_ms=None, ms_kmax=None):
+                 caps=None, caps_ms=None, cap_ms=None, ms_kmax=None,
+                 ms_sub_k=None, pair_kernel: bool | None = None):
         from .agbnp_jax import prepare_arrays
 
         params = AGBNPParams(radius=params_in.radius, gamma=params_in.gamma,
@@ -394,8 +530,24 @@ class AGBNP2Model:
         # shared-interface attributes Simulation reads off `self.agbnp`
         # regardless of version (ff_state's fuse test, force dispatch)
         self.version = 2
-        self.pair_kernel = False
-        self.arrays = prepare_arrays(params, dtype=dtype)
+        # fused Pallas GB/vdW phases with the analytic reverse chain:
+        # default ON for the TPU f32 deployment path (same policy as
+        # AGBNPModel); f64/CPU keeps the XLA + autodiff formulation
+        if pair_kernel is None:
+            import jax as _jax
+            pair_kernel = (_jax.default_backend() == "tpu"
+                           and np.dtype(dtype) == np.float32)
+        self.pair_kernel = bool(pair_kernel)
+        self.pair_interpret = False
+        if self.pair_kernel:
+            import jax as _jax
+            self.pair_interpret = _jax.default_backend() != "tpu"
+        from ..ops.pallas.pairs import pad_to, pick_tile
+        self.pair_pad = (pad_to(params.n, pick_tile(params.n))
+                         if self.pair_kernel else 0)
+        self.arrays = prepare_arrays(params, dtype=dtype,
+                                     pair_pad=self.pair_pad,
+                                     positions=positions)
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
         heavy = np.asarray(params.ishydrogen) == 0
         g = np.asarray(params.gamma)[heavy]
@@ -434,10 +586,50 @@ class AGBNP2Model:
         self.caps_ms = (caps_ms if caps_ms is not None else
                         T.TreeCaps.for_natoms(max(self.cap_ms // 8, 64)))
 
+        # neighbor-bounded MS free-volume subtraction: size the per-MS
+        # atom-list width from the candidate midpoints (a superset of the
+        # surviving MS particles) at the static horizon, 1.5x headroom
+        self.ms_sub_rcut = ms_subtraction_horizon(params.radii_vdw,
+                                                  params.radii_large)
+        if ms_sub_k is None:
+            if len(pi):
+                r1 = params.radii_vdw[pi]
+                r2 = params.radii_vdw[pj]
+                dvec = pos[pj] - pos[pi]
+                dd = np.linalg.norm(dvec, axis=-1) + 1e-30
+                fms = 0.5 * (1.0 + (r1 - r2) / dd)
+                mpos = pos[pj] * fms[:, None] + pos[pi] * (1.0 - fms)[:, None]
+                if params.n <= 4096:
+                    ph = pos[heavy]
+                    dm = np.linalg.norm(mpos[:, None, :] - ph[None, :, :],
+                                        axis=-1)
+                    seen = int((dm < self.ms_sub_rcut).sum(axis=1).max())
+                else:
+                    # chunked count above the dense-memory comfort zone
+                    ph = pos[heavy]
+                    seen = 0
+                    for s in range(0, len(mpos), 2048):
+                        dm = np.linalg.norm(
+                            mpos[s:s + 2048, None, :] - ph[None, :, :],
+                            axis=-1)
+                        seen = max(seen,
+                                   int((dm < self.ms_sub_rcut)
+                                       .sum(axis=1).max()))
+                ms_sub_k = min(int(np.ceil(seen * 1.5 / 16) * 16),
+                               int(heavy.sum()))
+            else:
+                ms_sub_k = 16
+        self.ms_sub_k = int(ms_sub_k)
+
+        self.pair_phases = (make_pair_cavity(self.cutoff, self.pair_pad,
+                                             self.pair_interpret)
+                            if self.pair_kernel else None)
         ef = partial(agbnp2_energy, caps=self.caps, caps_ms=self.caps_ms,
                      roffset=params.roffset, ntypes_j=self.ntypes_j,
                      cap_ms=self.cap_ms, ms_kmax=self.ms_kmax,
-                     common_gamma=self.common_gamma, cutoff=self.cutoff)
+                     common_gamma=self.common_gamma, cutoff=self.cutoff,
+                     ms_sub_k=self.ms_sub_k, ms_sub_rcut=self.ms_sub_rcut,
+                     pair_phases=self.pair_phases)
 
         def e_only(a, q, mpi, mpj, mpv):
             return ef(a, q, ms_pi=mpi, ms_pj=mpj, ms_pv=mpv)[0]

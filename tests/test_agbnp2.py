@@ -101,6 +101,51 @@ def test_agbnp2_jax_golden(small_system):
 
 
 @pytest.mark.slow
+def test_agbnp2_neighbor_bounded_free_volumes(small_system):
+    """The neighbor-bounded MS free-volume subtraction (ms_sub_k > 0,
+    [cap_ms, k] lists at the static horizon) matches the dense [cap_ms, N]
+    form: every excluded overlap sits below the VOLMINA switch, so energy
+    and autodiff forces agree to summation-order noise."""
+    from openmm_agbnp_plugin_tpu.models.agbnp2_jax import (
+        AGBNP2Model, ms_subtraction_horizon)
+
+    params, pos = small_system
+    hz = ms_subtraction_horizon(params.radii_vdw, params.radii_large)
+    assert 0.2 < hz < 1.0  # sane static horizon
+
+    m_dense = AGBNP2Model(params, dtype=np.float64, positions=pos,
+                          ms_sub_k=0)
+    m_nbr = AGBNP2Model(params, dtype=np.float64, positions=pos)
+    assert m_nbr.ms_sub_k > 0
+    e_d, f_d = m_dense.energy_forces(pos)
+    e_n, f_n = m_nbr.energy_forces(pos)
+    assert float(e_n) == pytest.approx(float(e_d), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f_n), np.asarray(f_d),
+                               rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_agbnp2_pallas_pair_phases_match_xla(small_system):
+    """The v2 Pallas GB/vdW routing (make_pair_cavity: fused tile kernels
+    forward + analytic custom-VJP reverse) matches the XLA + autodiff
+    formulation at f32 — energies and total forces."""
+    from openmm_agbnp_plugin_tpu.models.agbnp2_jax import AGBNP2Model
+
+    params, pos = small_system
+    m_x = AGBNP2Model(params, dtype=np.float32, positions=pos,
+                      pair_kernel=False)
+    m_p = AGBNP2Model(params, dtype=np.float32, positions=pos,
+                      pair_kernel=True)
+    assert m_p.pair_interpret  # CPU lane: kernels in interpret mode
+    e_x, f_x = m_x.energy_forces(pos)
+    e_p, f_p = m_p.energy_forces(pos)
+    assert float(e_p) == pytest.approx(float(e_x), rel=3e-5)
+    f_x = np.asarray(f_x)
+    scale = np.abs(f_x).max()
+    np.testing.assert_allclose(np.asarray(f_p), f_x, atol=3e-4 * scale)
+
+
+@pytest.mark.slow
 def test_agbnp2_force_fd_global(small_system):
     """Global dE vs -F.dx.  The reference's v2 force chain is knowingly
     incomplete (WIP; its FD checks are compiled out); this oracle carries
