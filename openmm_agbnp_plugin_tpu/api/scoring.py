@@ -29,7 +29,10 @@ class ConformerScorer:
 
     Parameters
     ----------
-    force: an AGBNPForce (version 0 or 1; NoCutoff or CutoffNonPeriodic).
+    force: an AGBNPForce (version 0, 1 or 2; NoCutoff or
+        CutoffNonPeriodic).  Version 2 scores through the batched AGBNP2
+        energy with autodiff forces (per-conformer MS candidate rebuild on
+        device); refine() supports versions 0/1 only.
     positions: representative coordinates [N, 3] or a batch [B, N, 3] used
         to size the overlap-tree capacities (the native sizing pre-pass runs
         on the largest-tree candidate); scoring positions may differ.
@@ -43,27 +46,42 @@ class ConformerScorer:
                  caps_boost: float = 1.6):
         from ..models.agbnp_jax import AGBNPModel
 
-        if force.getVersion() not in (0, 1):
-            raise ValueError(
-                "ConformerScorer supports versions 0 and 1 (AGBNP2's MS "
-                "sizing is per-conformation; score those through Context)")
+        if force.getVersion() not in (0, 1, 2):
+            raise ValueError("ConformerScorer supports versions 0, 1 and 2")
         if force.getNonbondedMethod() == NonbondedMethod.CutoffPeriodic:
             raise ValueError(
                 "ConformerScorer is for gas-phase/implicit-solvent poses; "
                 "CutoffPeriodic is not supported")
         if mesh is not None and len(mesh.axis_names) != 1:
             raise ValueError("mesh must have exactly one axis")
-        pos = np.asarray(positions, dtype=np.float64)
-        if pos.ndim == 3:
-            pos = pos[0]
+        pos_b = np.asarray(positions, dtype=np.float64)
+        pos = pos_b[0] if pos_b.ndim == 3 else pos_b
         cutoff = (None
                   if force.getNonbondedMethod() == NonbondedMethod.NoCutoff
                   else force.getCutoffDistance())
-        self._model = AGBNPModel(force.to_params(),
-                                 version=force.getVersion(), cutoff=cutoff,
-                                 dtype=dtype, caps=caps,
-                                 caps_boost=caps_boost, mixed=mixed,
-                                 positions=pos, pair_kernel=False)
+        self._is_v2 = force.getVersion() == 2
+        self._pos0 = pos
+        if self._is_v2:
+            # AGBNP2 batch scoring: shared capacities sized from the first
+            # conformer (regrown from the batched [18] overflow vector on
+            # demand); MS candidate pairs rebuilt per conformer on device
+            from ..models.agbnp2_jax import AGBNP2Model, ms_pair_cutoff
+
+            self._model = AGBNP2Model(force.to_params(), dtype=dtype,
+                                      positions=pos, cutoff=cutoff)
+            self._ms_rcut = ms_pair_cutoff(self._model.params.radii_vdw)
+            heavy = np.asarray(self._model.params.ishydrogen) == 0
+            from ..md.simulation import _host_max_neighbors
+            seen = max(_host_max_neighbors(p, heavy, self._ms_rcut)
+                       for p in (pos_b if pos_b.ndim == 3 else pos_b[None]))
+            self._ms_kmax_list = int(np.ceil(seen * 1.5 / 16) * 16)
+            self._v2_jit = None
+        else:
+            self._model = AGBNPModel(force.to_params(),
+                                     version=force.getVersion(),
+                                     cutoff=cutoff, dtype=dtype, caps=caps,
+                                     caps_boost=caps_boost, mixed=mixed,
+                                     positions=pos, pair_kernel=False)
         self._mesh = mesh
         self._force = force
 
@@ -75,6 +93,16 @@ class ConformerScorer:
         """Parameter-only refresh (AGBNPForce.cpp:76-78 semantics): swaps
         the jit-argument arrays; the compiled batch executable is reused
         when every static shape is unchanged."""
+        if self._is_v2:
+            from ..models.agbnp2_jax import AGBNP2Model
+
+            m2 = self._model
+            self._model = AGBNP2Model(
+                (force or self._force).to_params(), dtype=m2.dtype,
+                positions=np.asarray(self._pos0), cutoff=m2.cutoff,
+                caps=m2.caps, caps_ms=m2.caps_ms, cap_ms=m2.cap_ms,
+                ms_kmax=m2.ms_kmax, ms_sub_k=m2.ms_sub_k)
+            return
         self._model.update_params((force or self._force).to_params())
 
     def _shard(self, pos_batch):
@@ -91,6 +119,108 @@ class ConformerScorer:
         sharding = NamedSharding(self._mesh, P(self._mesh.axis_names[0]))
         return jax.device_put(pos_batch, sharding), b
 
+    def _score_v2(self, pos, nb, forces: bool, details: bool):
+        """Batched AGBNP2 scoring: per-conformer MS candidate rebuild on
+        device + the jitted v2 energy with autodiff forces, vmapped over
+        the batch; capacities shared across the batch and regrown from the
+        batched [18] overflow vector (worst conformer)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.agbnp2_jax import agbnp2_energy
+        from ..ops.neighbors import half_neighbor_pairs
+
+        heavy = jnp.asarray(
+            np.asarray(self._model.params.ishydrogen) == 0)
+
+        for _ in range(8):
+            m2 = self._model
+            if self._v2_jit is None:
+                def one(a2, q):
+                    mpi, mpj, mpv, cand_nb = half_neighbor_pairs(
+                        q, heavy, self._ms_rcut, self._ms_kmax_list)
+
+                    def e_only(q):
+                        e, diags, det = agbnp2_energy(
+                            a2, q, m2.caps, m2.caps_ms, m2.params.roffset,
+                            m2.ntypes_j, mpi, mpj, mpv, m2.cap_ms,
+                            m2.ms_kmax, m2.common_gamma, cutoff=m2.cutoff,
+                            ms_sub_k=m2.ms_sub_k,
+                            ms_sub_rcut=m2.ms_sub_rcut,
+                            pair_phases=m2.pair_phases)
+                        return e, (diags, det)
+
+                    (e, (diags, det)), grad = jax.value_and_grad(
+                        e_only, has_aux=True)(q)
+                    d0, d1 = diags
+                    counts = jnp.concatenate([
+                        d0["counts"].astype(jnp.int32),
+                        d1["counts"].astype(jnp.int32),
+                        jnp.stack([d1["ms_count"], d1["ms_nbmax"], cand_nb,
+                                   d1["ms_sub_max"]]).astype(jnp.int32)])
+                    keep = ("e_vol1", "e_vol2", "gb_self", "gb_pair",
+                            "e_vdw", "e_ms_vdw", "e_ms_large")
+                    return dict(energy=e, force=-grad, counts=counts,
+                                details={k: det[k] for k in keep})
+
+                self._v2_jit = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+            out = self._v2_jit(
+                {k: jnp.asarray(v) for k, v in m2.arrays.items()},
+                jnp.asarray(pos, m2.dtype))
+            cmax = np.max(np.asarray(out["counts"]), axis=0)
+            if not self._regrow_v2(cmax):
+                break
+        else:
+            raise RuntimeError("AGBNP2 capacities failed to converge")
+        res = {"energy": np.asarray(out["energy"])[:nb]}
+        if forces:
+            res["force"] = np.asarray(out["force"])[:nb]
+        if details:
+            for k, v in out["details"].items():
+                res[k] = np.asarray(v)[:nb]
+        return res
+
+    def _regrow_v2(self, c, headroom: float = 1.3) -> bool:
+        """Batched-worst-case PanicButton for v2 scoring; True = regrown
+        (the vmapped jit is rebuilt)."""
+        from ..models.agbnp2_jax import AGBNP2Model
+        from ..ops.tree import TreeCaps
+
+        m2 = self._model
+        over = (bool((c[:7] > np.asarray(m2.caps.caps)).any()
+                     or (c[7:14] > np.asarray(m2.caps_ms.caps)).any()
+                     or int(c[14]) > m2.cap_ms or int(c[15]) > m2.ms_kmax
+                     or int(c[16]) > self._ms_kmax_list
+                     or int(c[17]) > m2.ms_sub_k))
+        if not over:
+            return False
+
+        def r(x, align=128):
+            return max(align, int(np.ceil(x / align)) * align)
+
+        def grow_caps(old, counts):
+            return TreeCaps(
+                caps=tuple(max(c0, 2 * c0 if int(k) > c0 else c0,
+                               r(int(k) * headroom))
+                           for c0, k in zip(old.caps, counts)),
+                offs=old.offs)
+
+        if int(c[16]) > self._ms_kmax_list:
+            self._ms_kmax_list = int(np.ceil(int(c[16]) * 1.5 / 16) * 16)
+        self._model = AGBNP2Model(
+            self._force.to_params(), dtype=m2.dtype,
+            positions=np.asarray(self._pos0), cutoff=m2.cutoff,
+            caps=grow_caps(m2.caps, c[:7]),
+            caps_ms=grow_caps(m2.caps_ms, c[7:14]),
+            cap_ms=(r(int(c[14]) * 1.5) if int(c[14]) > m2.cap_ms
+                    else m2.cap_ms),
+            ms_kmax=(int(np.ceil(int(c[15]) * 1.5 / 16) * 16)
+                     if int(c[15]) > m2.ms_kmax else m2.ms_kmax),
+            ms_sub_k=(int(np.ceil(int(c[17]) * 1.5 / 16) * 16)
+                      if int(c[17]) > m2.ms_sub_k else m2.ms_sub_k))
+        self._v2_jit = None
+        return True
+
     def refine(self, positions, maxiter: int = 200, **fire_kw):
         """FIRE-minimize every conformation (vmapped), then rescore.
 
@@ -106,6 +236,9 @@ class ConformerScorer:
         from ..models.agbnp_jax import batched_diag_max
         from ..md.minimize import make_fire_runner
 
+        if self._is_v2:
+            raise ValueError("refine() supports versions 0/1; score AGBNP2 "
+                             "poses directly or minimize through md/")
         pos = np.asarray(positions, dtype=np.float64)
         if pos.ndim == 2:
             pos = pos[None]
@@ -174,6 +307,8 @@ class ConformerScorer:
         nb = pos.shape[0]
         if self._mesh is not None:
             pos, nb = self._shard(pos)
+        if self._is_v2:
+            return self._score_v2(pos, nb, forces, details)
         for _ in range(8):
             out = self._model.batched_energy_forces(pos)
             if not self._model.check_and_grow(batched_diag_max(out["diag"])):

@@ -67,6 +67,38 @@ def test_batch_matches_context(small_system, version):
         np.testing.assert_allclose(total, res["energy"], rtol=1e-12)
 
 
+@pytest.mark.slow
+def test_batch_v2_matches_model(small_system):
+    """AGBNP2 batch scoring equals the one-shot AGBNP2Model evaluation per
+    conformer (energy and autodiff forces)."""
+    from openmm_agbnp_plugin_tpu.models.agbnp2_jax import AGBNP2Model
+
+    params, pos = small_system
+    n = 40
+    from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+    p40 = AGBNPParams(radius=params.radius[:n], gamma=params.gamma[:n],
+                      alpha=params.alpha[:n], charge=params.charge[:n],
+                      ishydrogen=params.ishydrogen[:n])
+    pos = pos[:n]
+    force = _build_force(p40, version=2)
+    batch = _conformers(pos, nb=3, scale=0.005)
+
+    scorer = ConformerScorer(force, pos, dtype=np.float64)
+    res = scorer.score(batch, forces=True, details=True)
+    assert res["energy"].shape == (3,)
+    assert "e_ms_vdw" in res
+
+    for b in range(3):
+        m = AGBNP2Model(p40, dtype=np.float64, positions=batch[b])
+        e, f = m.energy_forces(batch[b])
+        np.testing.assert_allclose(res["energy"][b], float(e), rtol=1e-8)
+        np.testing.assert_allclose(res["force"][b], np.asarray(f),
+                                   rtol=1e-6, atol=1e-8)
+
+    with pytest.raises(ValueError, match="refine"):
+        scorer.refine(batch)
+
+
 def test_single_conformer_and_shapes(small_system):
     params, pos = small_system
     force = _build_force(params)
