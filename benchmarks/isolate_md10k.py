@@ -93,9 +93,7 @@ def main():
 
     if "compact" in stages:
         t0 = time.time()
-        vdw_caps = T.TreeCaps(
-            caps=tuple(max(128, c // 4) for c in m.caps.caps),
-            offs=m.caps.offs)
+        vdw_caps = tuple(max(128, c // 4) for c in m.caps.caps)
 
         @jax.jit
         def compact(q):

@@ -332,12 +332,14 @@ _CHUNK_BUILD_ELEMS = int(_os.environ.get("AGBNP_CHUNK_BUILD_ELEMS",
 # this chunks (a 16k-atom MD build OOMed on its 30M-candidate level 2 —
 # under the while-loop's remat pressure even mid-size levels explode)
 _CHUNK_LEVEL_MIN = int(_os.environ.get("AGBNP_CHUNK_LEVEL_MIN", 1 << 24))
-# 240M: a 10,240-atom one-shot build (224M) stays on the fast path, while
-# a 16,384-atom MD build with lean caps (256M) chunks — inside the MD
-# while-loop XLA remats even more aggressively, so the budget is
-# calibrated to the loop case.
+# 160M: a 10,240-atom build (224M total candidates) must chunk — its
+# level-4 window slices (f32[825k, 6]) tile-pad 21.3x to ~400M temps and
+# the MD-runner program then plans 16.00G of the chip's 15.75G HBM (AOT
+# compile OOM, observed round 4; the round-3 calibration at 240M kept
+# 10,240 on the fast path and crashed the TPU worker).  Shipped benchmark
+# systems (<= 6k atoms, <= 90M candidates) stay on the fast path.
 _SLICE_BUILD_TOTAL = int(_os.environ.get("AGBNP_SLICE_BUILD_TOTAL",
-                                         240 * 1024 * 1024))
+                                         160 * 1024 * 1024))
 _CHUNK_ROWS = 1 << 16
 
 
