@@ -177,8 +177,15 @@ def test_refine_lowers_energy(small_system):
         res["energy"], scorer.score(res["positions"])["energy"], rtol=1e-12)
 
 
-def test_version2_rejected(small_system):
+def test_version2_accepted_periodic_rejected(small_system):
+    """Version 2 is now a supported scoring path (batched AGBNP2); only
+    CutoffPeriodic remains out of scope for pose scoring."""
     params, pos = small_system
     force = _build_force(params, version=2)
-    with pytest.raises(ValueError, match="versions 0 and 1"):
-        ConformerScorer(force, pos)
+    scorer = ConformerScorer(force, pos, dtype=np.float64)
+    assert scorer._is_v2
+
+    force1 = _build_force(params, version=1)
+    force1.setNonbondedMethod(NonbondedMethod.CutoffPeriodic)
+    with pytest.raises(ValueError, match="CutoffPeriodic"):
+        ConformerScorer(force1, pos)
