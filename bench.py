@@ -122,6 +122,16 @@ def main():
             # full-force protocol, tests/test_md.py::test_wu_impulse_mts)
             extra[f"ns_day_{SYSTEM.split('_')[0]}_agbnp1_mts_wu4"] = \
                 measure(SYSTEM, dh, wu_every=4)
+            # large-system MD (the OpenCL backend's raison d'etre —
+            # scaling): 10,240-atom synthetic protein through the
+            # segmented run_md loop; step count bounded so the whole
+            # bench stays driver-friendly (the >=1k-step validation run
+            # lives in benchmarks/synth_md_r04.json / RESULTS.md)
+            synth_steps = int(os.environ.get("BENCH_SYNTH_STEPS", "200"))
+            if synth_steps > 0:
+                from benchmarks.synthetic_scale import run_md as synth_md
+                r = synth_md(10240, nsteps=synth_steps)
+                extra["ns_day_synth10k"] = round(r["ns_day"], 3)
         except Exception as exc:  # extras must never kill the headline
             extra["error"] = f"{type(exc).__name__}: {exc}"
         out["extra_metrics"] = extra

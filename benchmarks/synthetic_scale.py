@@ -27,16 +27,24 @@ except Exception:
 
 
 def synthetic_system(natoms: int, seed: int = 0):
-    """Protein-like random blob: uniform density ball, 60% heavy atoms with
-    AGBNP-like radii/charges, common gamma, hydrogens interleaved."""
+    """Protein-like synthetic ball: jittered cubic lattice at protein
+    density trimmed to a sphere, 60% heavy atoms with AGBNP-like
+    radii/charges, common gamma, hydrogens interleaved.
+
+    A lattice (not uniform random placement) guarantees realistic minimum
+    separations (~0.17 nm): uniform sampling puts some pairs at near-zero
+    distance, which explodes both the overlap tree and the forces the
+    moment MD starts (observed round 4 as an unconvergeable PanicButton
+    regrow loop at 10k atoms)."""
     rng = np.random.default_rng(seed)
     density = 95.0  # atoms / nm^3, protein-like
-    radius_ball = (3.0 * natoms / (4.0 * np.pi * density)) ** (1.0 / 3.0)
-    # rejection-free uniform ball sampling
-    u = rng.uniform(size=natoms) ** (1.0 / 3.0)
-    v = rng.normal(size=(natoms, 3))
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    pos = radius_ball * u[:, None] * v
+    a = density ** (-1.0 / 3.0)  # ~0.219 nm lattice constant
+    m = int(np.ceil((natoms * 6 / np.pi) ** (1.0 / 3.0))) + 2
+    g = (np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"), -1)
+         .reshape(-1, 3) - (m - 1) / 2.0) * a
+    g = g + rng.uniform(-0.12 * a, 0.12 * a, size=g.shape)
+    order = np.argsort(np.linalg.norm(g, axis=1), kind="stable")
+    pos = g[order[:natoms]]
     ish = (rng.uniform(size=natoms) < 0.4).astype(np.int64)
     radius = np.where(ish > 0, 0.125,
                       rng.choice([0.15, 0.16, 0.17, 0.19], size=natoms))
@@ -108,9 +116,27 @@ def run_md(natoms: int, nsteps: int = 100, scan_unroll: int = None,
         # server-side compile on the remote-TPU backend) a quarter the size;
         # the unroll win is a small-system effect (see make_langevin_runner)
         scan_unroll = 1 if natoms > 8000 else 4
-    res = sim.benchmark_langevin(nsteps=nsteps, dt=0.001, temperature=300.0,
-                                 neighbor_every=neighbor_every,
-                                 scan_unroll=scan_unroll)
+    if natoms > 8000:
+        # huge systems: segment the run so no single device execution runs
+        # longer than one rebuild window — a 100-step fused execution at
+        # ~7 s/step trips the remote worker's execution watchdog (observed
+        # round 4: the identical program runs clean at 10 steps and
+        # "crashes the worker" at 100).  run_md's segmented host loop is
+        # the production path at this scale anyway (PanicButton retries,
+        # checkpoints); the per-segment host sync is microseconds against
+        # a multi-second window.
+        sim.run_md(min(neighbor_every, nsteps), dt=0.001,
+                   temperature=300.0, neighbor_every=neighbor_every,
+                   scan_unroll=scan_unroll)  # compile + warm
+        res = sim.run_md(nsteps, dt=0.001, temperature=300.0,
+                         neighbor_every=neighbor_every,
+                         segment=neighbor_every, scan_unroll=scan_unroll)
+        res["overflow"] = res["regrows"] > 0
+    else:
+        res = sim.benchmark_langevin(nsteps=nsteps, dt=0.001,
+                                     temperature=300.0,
+                                     neighbor_every=neighbor_every,
+                                     scan_unroll=scan_unroll)
     e = np.asarray(res["energies"])
     assert np.isfinite(e).all()
     print(f"  MD {nsteps} steps: {res['ns_day']:.3f} ns/day "

@@ -597,10 +597,16 @@ class AGBNPModel:
         self.ntypes_j = int(np.max(np.asarray(self.arrays["type_j"])) + 1)
         # interacting-tile lists for the pair sweeps: budgets sized from the
         # initial configuration (None = auto when possible; False = dense
-        # grids; explicit (lb, lg) from a PanicButton regrow)
+        # grids; explicit (lb, lg) from a PanicButton regrow).
+        # Auto is capped at 8k atoms: above it the list kernels crash the
+        # remote TPU worker (observed round 4 at 10,240 — the dense-grid MD
+        # window runs clean at the same scale), and the lists are measured
+        # perf-neutral on compact proteins anyway (benchmarks/RESULTS.md);
+        # pass pair_tiles=True explicitly to force them on large systems.
         if pair_tiles is None:
             pair_tiles = (self.pair_kernel
-                          and self._init_positions is not None)
+                          and self._init_positions is not None
+                          and params.n <= 8192)
         if pair_tiles is True:
             pair_tiles = self._sized_pair_tiles()
         self.pair_tiles = pair_tiles if pair_tiles else None
