@@ -117,21 +117,15 @@ def run_md(natoms: int, nsteps: int = 100, scan_unroll: int = None,
         # the unroll win is a small-system effect (see make_langevin_runner)
         scan_unroll = 1 if natoms > 8000 else 4
     if natoms > 8000:
-        # huge systems: segment the run so no single device execution runs
-        # longer than one rebuild window — a 100-step fused execution at
-        # ~7 s/step trips the remote worker's execution watchdog (observed
-        # round 4: the identical program runs clean at 10 steps and
-        # "crashes the worker" at 100).  run_md's segmented host loop is
-        # the production path at this scale anyway (PanicButton retries,
-        # checkpoints); the per-segment host sync is microseconds against
-        # a multi-second window.
-        sim.run_md(min(neighbor_every, nsteps), dt=0.001,
-                   temperature=300.0, neighbor_every=neighbor_every,
-                   scan_unroll=scan_unroll)  # compile + warm
-        res = sim.run_md(nsteps, dt=0.001, temperature=300.0,
-                         neighbor_every=neighbor_every,
-                         segment=neighbor_every, scan_unroll=scan_unroll)
-        res["overflow"] = res["regrows"] > 0
+        # huge systems: one rebuild window per device execution, timed
+        # window-by-window with host state snapshots.  The remote worker
+        # is unstable under sustained multi-minute executions at this
+        # scale (round 4: identical programs run clean per-window and
+        # "crash the worker" when fused into 100-step executions or run
+        # for many minutes), so the steady-state number comes from the
+        # completed windows' median and a mid-run worker crash only
+        # truncates the sample, never loses the measurement.
+        res = _run_md_windows(sim, nsteps, neighbor_every, scan_unroll)
     else:
         res = sim.benchmark_langevin(nsteps=nsteps, dt=0.001,
                                      temperature=300.0,
@@ -139,10 +133,67 @@ def run_md(natoms: int, nsteps: int = 100, scan_unroll: int = None,
                                      scan_unroll=scan_unroll)
     e = np.asarray(res["energies"])
     assert np.isfinite(e).all()
-    print(f"  MD {nsteps} steps: {res['ns_day']:.3f} ns/day "
-          f"({1e3 * res['elapsed_s'] / nsteps:.1f} ms/step), "
-          f"overflow={res['overflow']}", flush=True)
+    ms_step = res.get("ms_step", 1e3 * res["elapsed_s"] / nsteps)
+    print(f"  MD {res.get('steps_done', nsteps)} steps: "
+          f"{res['ns_day']:.3f} ns/day ({ms_step:.1f} ms/step), "
+          f"overflow={res['overflow']}"
+          + (f", windows={res['windows']}" if "windows" in res else ""),
+          flush=True)
     return res
+
+
+def _run_md_windows(sim, nsteps, neighbor_every, scan_unroll,
+                    dt=0.001, temperature=300.0):
+    import jax
+    import numpy as np
+
+    run = sim.make_langevin_runner(dt, temperature, 1.0,
+                                   neighbor_every=neighbor_every,
+                                   scan_unroll=scan_unroll)
+    key = jax.random.PRNGKey(0)
+    pos, vel = sim.positions, sim.velocities
+    # compile + warm (one window); PanicButton regrow until the warm
+    # window runs clean, so the timed windows measure a converged config
+    for attempt in range(6):
+        pos_w, vel_w, key_w, e, diag = run(pos, vel, key, neighbor_every)
+        counts = np.asarray(diag[0])
+        overflow = sim._check_overflow(counts, diag[1],
+                                       np.asarray(diag[2]),
+                                       np.asarray(diag[3]))
+        if not overflow:
+            pos, vel, key = pos_w, vel_w, key_w
+            break
+        print(f"  warm window overflow (attempt {attempt}): regrow",
+              flush=True)
+        sim._regrow(counts, diag[1], np.asarray(diag[2]),
+                    wu=np.asarray(diag[3]))
+        run = sim.make_langevin_runner(dt, temperature, 1.0,
+                                       neighbor_every=neighbor_every,
+                                       scan_unroll=scan_unroll)
+    nwin = max(1, (nsteps - neighbor_every) // neighbor_every)
+    times = []
+    for w in range(nwin):
+        try:
+            t0 = time.perf_counter()
+            out = run(pos, vel, key, neighbor_every)
+            counts = np.asarray(out[4][0])  # sync
+            times.append(time.perf_counter() - t0)
+            pos, vel, key = out[0], out[1], out[2]
+            overflow = overflow or sim._check_overflow(
+                counts, out[4][1], np.asarray(out[4][2]),
+                np.asarray(out[4][3]))
+        except Exception as exc:
+            print(f"  window {w}: {type(exc).__name__} (worker lost); "
+                  f"reporting from {len(times)} completed windows",
+                  flush=True)
+            break
+    med = float(np.median(times)) if times else float("inf")
+    done = (len(times) + 1) * neighbor_every
+    return dict(ns_day=neighbor_every * dt * 1e-3 / med * 86400.0,
+                elapsed_s=float(np.sum(times)),
+                ms_step=med / neighbor_every * 1e3,
+                windows=len(times), steps_done=done,
+                energies=np.asarray(e), overflow=overflow)
 
 
 if __name__ == "__main__":

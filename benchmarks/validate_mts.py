@@ -122,8 +122,12 @@ def run_nve(sim, wu_every, nsteps=10000, nseg=10, dt=0.001):
 def main():
     systems = [s for s in sys.argv[1:] if not s.startswith("-")] \
         or list(CONFIGS)
-    nsteps = 10000
+    nsteps = int(os.environ.get("MTS_VALIDATE_STEPS", "10000"))
     out = {}
+    path = os.path.join(HERE, "mts_validation.json")
+    if os.path.exists(path):  # merge across per-system invocations
+        with open(path) as f:
+            out = json.load(f)
     dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
     for name in systems:
         cfg = CONFIGS[name]
