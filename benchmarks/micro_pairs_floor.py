@@ -49,33 +49,60 @@ def timeit(fn, *args, n=30):
 
 
 def measure_peaks():
-    """Empirical device peaks in this same process."""
+    """Empirical device peaks, each as ONE dispatched program carrying
+    hundreds of ms of device work (a fori_loop of repetitions inside the
+    jit): on the remote-TPU tunnel, per-dispatch latency is large enough
+    that timing many small calls measures the tunnel, not the chip."""
     k = 4096
-    a16 = jnp.ones((2 * k, 2 * k), jnp.bfloat16)
-    mm16 = jax.jit(lambda a: jax.lax.dot(a, a,
-                                         preferred_element_type=jnp.float32))
-    t = timeit(mm16, a16, n=10)
-    peak_bf16 = 2 * (2 * k) ** 3 / t
-    a32 = jnp.ones((k, k), jnp.float32)
-    mm32 = jax.jit(lambda a: jax.lax.dot(a, a))
-    t = timeit(mm32, a32, n=10)
-    peak_f32 = 2 * k ** 3 / t
-    big = jnp.ones((128 * (1 << 20) // 4,), jnp.float32)  # 128 MB
-    cp = jax.jit(lambda x: x + 1.0)
-    t = timeit(cp, big, n=10)
-    bw = 2 * big.size * 4 / t  # read + write
-
-    # VPU elementwise throughput: 64 chained FMAs per element over 32 MB
-    # (BW amortized 32x -> compute-bound)
-    v = jnp.ones((8 * (1 << 20),), jnp.float32)
+    reps = 64
+    a16 = jnp.ones((k, k), jnp.bfloat16)
 
     @jax.jit
-    def fma_chain(x):
-        for _ in range(64):
-            x = x * 1.0000001 + 1e-7
-        return x
-    t = timeit(fma_chain, v, n=10)
-    vpu = 2 * 64 * v.size / t  # mul+add per iteration
+    def mm16_loop(a):
+        def body(i, x):
+            return jax.lax.dot(x, a, preferred_element_type=jnp.float32) \
+                .astype(jnp.bfloat16) * 0.001
+        return jax.lax.fori_loop(0, reps, body, a)
+    t = timeit(mm16_loop, a16, n=3)
+    peak_bf16 = reps * 2 * k ** 3 / t
+
+    a32 = jnp.ones((k, k), jnp.float32)
+
+    @jax.jit
+    def mm32_loop(a):
+        def body(i, x):
+            return jax.lax.dot(x, a) * 0.001
+        return jax.lax.fori_loop(0, reps, body, a)
+    t = timeit(mm32_loop, a32, n=3)
+    peak_f32 = reps * 2 * k ** 3 / t
+
+    # HBM: fori of add passes over 256 MB — fori iterations cannot fuse
+    # with each other, so each is one sequential read + write stream
+    # (NOT a reverse: lane/sublane-reversing DMA measured ~10x below the
+    # stream rate on this device)
+    big = jnp.ones((256 * (1 << 20) // 4,), jnp.float32)
+
+    @jax.jit
+    def bw_loop(x):
+        def body(i, x):
+            return x + 1.0
+        return jax.lax.fori_loop(0, 32, body, x)
+    t = timeit(bw_loop, big, n=3)
+    bw = 32 * 2 * big.size * 4 / t
+
+    # VPU: fori of bodies that each fuse 64 FMAs per element over 64 MB
+    # (ops:bytes = 64:4 -> compute-bound within each fused body)
+    v = jnp.ones((16 * (1 << 20),), jnp.float32)
+
+    @jax.jit
+    def fma_loop(x):
+        def body(i, x):
+            for _ in range(64):
+                x = x * 1.0000001 + 1e-7
+            return x
+        return jax.lax.fori_loop(0, 32, body, x)
+    t = timeit(fma_loop, v, n=3)
+    vpu = 32 * 2 * 64 * v.size / t
     return dict(peak_bf16_tflops=peak_bf16 / 1e12,
                 peak_f32_tflops=peak_f32 / 1e12,
                 hbm_gbs=bw / 1e9, vpu_tops=vpu / 1e12)

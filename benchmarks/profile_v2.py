@@ -42,14 +42,22 @@ def timeit(fn, *args, n=20):
 
 
 def main():
-    system = sys.argv[1] if len(sys.argv) > 1 else "trpcage_agbnp1"
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    system = args[0] if args else "trpcage_agbnp1"
     here = os.path.dirname(os.path.abspath(__file__))
     dms = load_dms(os.path.join(here, "data", f"{system}.dms"))
     dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
-    sim = Simulation(dms, version=2, cutoff=None, dtype=dtype)
+    pk = None
+    if "--kernels" in sys.argv:
+        pk = True
+    if "--nokernels" in sys.argv:
+        pk = False
+    sim = Simulation(dms, version=2, cutoff=None, dtype=dtype,
+                     pair_kernel=pk)
     m2 = sim.agbnp2
+    print(f"v2 pair_kernel={m2.pair_kernel}", flush=True)
     pos = jnp.asarray(sim.positions, dtype)
-    a = m2.arrays
+    a = {k: jnp.asarray(v) for k, v in m2.arrays.items()}
 
     # window build: frozen topology + MS compaction (the MD window mode)
     pairs_w, topo_w = sim._v2_build(np.asarray(pos))

@@ -70,7 +70,8 @@ class Simulation:
 
             self.agbnp2 = AGBNP2Model(params, dtype=dtype,
                                       positions=np.asarray(dms.positions),
-                                      cutoff=cutoff)
+                                      cutoff=cutoff,
+                                      pair_kernel=pair_kernel)
             self.agbnp = self.agbnp2  # caps/params access for shared paths
             self.ms_rcut = ms_pair_cutoff(params.radii_vdw)
             heavy_np = np.asarray(params.ishydrogen) == 0

@@ -531,12 +531,16 @@ class AGBNP2Model:
         # regardless of version (ff_state's fuse test, force dispatch)
         self.version = 2
         # fused Pallas GB/vdW phases with the analytic reverse chain:
-        # default ON for the TPU f32 deployment path (same policy as
-        # AGBNPModel); f64/CPU keeps the XLA + autodiff formulation
+        # default ON for the TPU f32 deployment path at >= 1024 atoms; at
+        # tiny N the dense XLA phases are trivial and the kernel-launch
+        # overheads dominate (measured on trp-cage: the Pallas-routed v2
+        # step was ~2.7x slower than round 3's XLA step).  f64/CPU keeps
+        # the XLA + autodiff formulation.
         if pair_kernel is None:
             import jax as _jax
             pair_kernel = (_jax.default_backend() == "tpu"
-                           and np.dtype(dtype) == np.float32)
+                           and np.dtype(dtype) == np.float32
+                           and params.n >= 1024)
         self.pair_kernel = bool(pair_kernel)
         self.pair_interpret = False
         if self.pair_kernel:
