@@ -151,9 +151,28 @@ def _run_md_windows(sim, nsteps, neighbor_every, scan_unroll,
                                    neighbor_every=neighbor_every,
                                    scan_unroll=scan_unroll)
     key = jax.random.PRNGKey(0)
+    # thermalized start: beginning at zero velocity makes every capacity
+    # (neighbor kmax, tree levels) drift upward while the system heats,
+    # so a cold-sized warm window under-sizes the timed ones
+    sim.set_velocities_to_temperature(temperature, seed=1)
     pos, vel = sim.positions, sim.velocities
-    # compile + warm (one window); PanicButton regrow until the warm
-    # window runs clean, so the timed windows measure a converged config
+    # compile + warm (two windows: heat + settle); PanicButton regrow
+    # until the warm window runs clean, so the timed windows measure a
+    # converged configuration
+    for attempt in range(6):
+        pos_w, vel_w, key_w, e, diag = run(pos, vel, key, neighbor_every)
+        counts = np.asarray(diag[0])
+        if not sim._check_overflow(counts, diag[1], np.asarray(diag[2]),
+                                   np.asarray(diag[3])):
+            pos, vel, key = pos_w, vel_w, key_w
+            break
+        print(f"  heat window overflow (attempt {attempt}): regrow",
+              flush=True)
+        sim._regrow(counts, diag[1], np.asarray(diag[2]),
+                    wu=np.asarray(diag[3]))
+        run = sim.make_langevin_runner(dt, temperature, 1.0,
+                                       neighbor_every=neighbor_every,
+                                       scan_unroll=scan_unroll)
     for attempt in range(6):
         pos_w, vel_w, key_w, e, diag = run(pos, vel, key, neighbor_every)
         counts = np.asarray(diag[0])
