@@ -90,56 +90,88 @@ def main():
     dh = os.environ.get("BENCH_DESCREEN_HORIZON", "cutoff")
     dh = None if dh == "lut" else ("cutoff" if dh == "cutoff" else float(dh))
 
-    def measure(name, horizon, wu_every: int = 1):
+    accounting = {}
+
+    def measure(key, name, horizon, wu_every: int = 1):
+        """One reference-protocol run; the overflow/regrow state of the
+        run the number came from is recorded per metric (a number from an
+        overflowed run must never look clean in a round artifact — the
+        reference's PanicButton contract is overflow => forces invalid =>
+        retry, OpenCLAGBNPKernels.cpp:3598-3634)."""
         d = load_dms(os.path.join(here, "benchmarks", "data", f"{name}.dms"))
         sim = Simulation(d, version=1, cutoff=1.0, dtype=dtype, skin=0.25,
                          descreen_horizon=horizon)
         r = sim.benchmark_langevin(nsteps=nsteps, dt=0.001,
                                    temperature=300.0, friction=1.0,
                                    neighbor_every=40, wu_every=wu_every)
+        accounting[key] = {"overflow": bool(r["overflow"]),
+                           "regrows": int(r.get("regrows", 0))}
+        if r["overflow"]:
+            return None  # tainted: retries exhausted; never report ns/day
         return round(r["ns_day"], 3)
 
     # headline: the WU gamma-rescan force pass as an r-RESPA impulse every
     # 4 steps — validated at the 10k-step protocol length being timed
     # (benchmarks/mts_validation.json: Langevin ensemble statistics match
     # the exact integrator to 0.03 K / <=0.4% PE on 1li2 and trp-cage;
-    # see benchmarks/RESULTS.md round 4 for the NVE-grade bound).  The
-    # exact wu_every=1 evaluation rides as the strict extra metric.
-    headline = measure(SYSTEM, dh, wu_every=4)
+    # in strict NVE the impulse heats 1li2 at ~9e3 kJ/mol/ns — absorbed by
+    # the protocol's 1/ps thermostat; NVE-grade work should use the strict
+    # wu_every=1 extra metric; benchmarks/RESULTS.md round 4).  The
+    # protocol-matched baseline comparison (vs_baseline) uses the STRICT
+    # full-force-every-step run, the reference's own integrator protocol;
+    # the mts_wu4 ratio rides separately as vs_baseline_mts_wu4.
+    sysname = SYSTEM.split('_')[0]
+    headline_key = f"ns_day_{sysname}_agbnp1_mts_wu4"
+    headline = measure(headline_key, SYSTEM, dh, wu_every=4)
+    strict = measure(f"ns_day_{sysname}_agbnp1_strict", SYSTEM, dh)
     out = {
-        "metric": f"ns_day_{SYSTEM.split('_')[0]}_agbnp1_mts_wu4",
+        "metric": headline_key,
         "value": headline,
         "unit": "ns/day",
-        "vs_baseline": round(headline / BASELINE_NS_DAY, 3),
+        "vs_baseline": round((strict if strict is not None else headline)
+                             / BASELINE_NS_DAY, 3),
+        "vs_baseline_mts_wu4": round(headline / BASELINE_NS_DAY, 3),
         "protocol": (f"{nsteps} Langevin steps @ 1 fs / 300 K, "
                      "CutoffNonPeriodic 1 nm, wall-clock "
                      "(reference example/t4lysozyme_benchmark.py:22-31); "
-                     "WU force pass as validated r-RESPA impulse "
-                     "(benchmarks/mts_validation.json)"),
+                     "WU force pass as r-RESPA impulse — validated for "
+                     "thermostatted protocols, strict-NVE work should use "
+                     "the wu_every=1 extra metric "
+                     "(benchmarks/mts_validation.json); vs_baseline is the "
+                     "protocol-matched strict run"),
     }
     if EXTRA and note is None:
         # the strict-semantics run + the other named BASELINE metric + the
         # parity-anchored horizon, same 10k-step protocol, one JSON line
         extra = {}
+        if strict is not None:
+            extra[f"ns_day_{sysname}_agbnp1_strict"] = strict
         try:
-            extra[f"ns_day_{SYSTEM.split('_')[0]}_agbnp1_strict"] = \
-                measure(SYSTEM, dh)
-            extra["ns_day_trpcage_agbnp1"] = measure("trpcage_agbnp1", dh)
-            extra[f"ns_day_{SYSTEM.split('_')[0]}_agbnp1_lut_horizon"] = \
-                measure(SYSTEM, None)
+            v = measure("ns_day_trpcage_agbnp1", "trpcage_agbnp1", dh)
+            if v is not None:
+                extra["ns_day_trpcage_agbnp1"] = v
+            v = measure(f"ns_day_{sysname}_agbnp1_lut_horizon", SYSTEM, None)
+            if v is not None:
+                extra[f"ns_day_{sysname}_agbnp1_lut_horizon"] = v
             # large-system MD (the OpenCL backend's raison d'etre —
             # scaling): 10,240-atom synthetic protein through the
             # segmented run_md loop; step count bounded so the whole
             # bench stays driver-friendly (the >=1k-step validation run
-            # lives in benchmarks/synth_md_r04.json / RESULTS.md)
-            synth_steps = int(os.environ.get("BENCH_SYNTH_STEPS", "200"))
+            # lives in benchmarks/RESULTS.md)
+            synth_steps = int(os.environ.get("BENCH_SYNTH_STEPS", "400"))
             if synth_steps > 0:
                 from benchmarks.synthetic_scale import run_md as synth_md
                 r = synth_md(10240, nsteps=synth_steps)
-                extra["ns_day_synth10k"] = round(r["ns_day"], 3)
+                accounting["ns_day_synth10k"] = {
+                    "overflow": bool(r["overflow"]),
+                    "regrows": int(r.get("regrows", 0)),
+                    "windows": int(r.get("windows", 0))}
+                if not r["overflow"]:
+                    extra["ns_day_synth10k"] = round(r["ns_day"], 3)
         except Exception as exc:  # extras must never kill the headline
             extra["error"] = f"{type(exc).__name__}: {exc}"
         out["extra_metrics"] = extra
+    out["overflow_accounting"] = accounting
     if note is not None:
         out["note"] = note
     print(json.dumps(out))

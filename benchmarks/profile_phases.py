@@ -53,10 +53,26 @@ def main():
     dh = sys.argv[3] if len(sys.argv) > 3 else "cutoff"
     dh = None if dh == "lut" else ("cutoff" if dh == "cutoff" else float(dh))
     here = os.path.dirname(os.path.abspath(__file__))
-    dms = load_dms(os.path.join(here, "data", f"{system}.dms"))
+    if system.startswith("synth"):
+        # synthetic protein-density ball at any size: "synth10240" etc.
+        from types import SimpleNamespace
+
+        from benchmarks.synthetic_scale import synthetic_system
+
+        posn, radius, gamma, alpha, charge, ish = synthetic_system(
+            int(system[len("synth"):]))
+        dms = SimpleNamespace(
+            agbnp_radius=radius, agbnp_gamma=gamma, agbnp_alpha=alpha,
+            charges=charge, ishydrogen=ish, positions=posn,
+            velocities=np.zeros_like(posn), n=len(radius),
+            masses=np.where(ish > 0, 1.008, 12.011))
+        include_mm = False
+    else:
+        dms = load_dms(os.path.join(here, "data", f"{system}.dms"))
+        include_mm = True
     dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
     sim = Simulation(dms, version=1, cutoff=cutoff, dtype=dtype, skin=0.25,
-                     descreen_horizon=dh)
+                     descreen_horizon=dh, include_mm=include_mm)
     a = sim.agbnp.arrays
     caps = sim.agbnp.caps
     pos = jnp.asarray(dms.positions, dtype)
@@ -64,10 +80,11 @@ def main():
     ntypes_j = sim.agbnp.ntypes_j
     print(f"system={system} n={dms.n} platform={jax.devices()[0].platform}")
 
-    # neighbor pairs + topology (rebuild-boundary work)
+    # neighbor pairs + topology (rebuild-boundary work); sim.neighbor_fn
+    # is the cell-grid build on large systems
     heavy = sim.heavy_mask
-    nb = jax.jit(lambda p: half_neighbor_pairs(p, heavy, sim.rcut_list,
-                                               sim.kmax))
+    nb = jax.jit(lambda p: sim.neighbor_fn(p, heavy, sim.rcut_list,
+                                           sim.kmax))
     pi, pj, pv, _ = nb(pos)
     print(f"neighbors: {timeit(nb, pos):.3f} ms  (kmax={sim.kmax})")
 
@@ -107,42 +124,56 @@ def main():
     # pair phases
     s_factor = self_volume / a["vol_vdw_all"]
 
-    def born_only(p, s):
-        geom = B.born_radii(p, a["radii_vdw"], s, a["ishydrogen"],
-                            a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
-                            ntypes_j)
-        return geom["born_radius"]
-    print(f"born_radii (spline pairs): {timeit(jax.jit(born_only), pos, s_factor):.3f} ms")
+    if dms.n <= 6000:
+        # the dense [N, N] XLA formulation is HBM-hostile at 10k+; skip it
+        # there (the kernels below are the production path at every size)
+        def born_only(p, s):
+            geom = B.born_radii(p, a["radii_vdw"], s, a["ishydrogen"],
+                                a["type_i"], a["type_j"], a["yflat"],
+                                a["y2flat"], ntypes_j)
+            return geom["born_radius"]
+        print(f"born_radii (spline pairs): "
+              f"{timeit(jax.jit(born_only), pos, s_factor):.3f} ms")
 
-    def pair_all(p, s):
-        geom = B.born_radii(p, a["radii_vdw"], s, a["ishydrogen"],
-                            a["type_i"], a["type_j"], a["yflat"], a["y2flat"],
-                            ntypes_j)
-        br = geom["born_radius"]
-        gb = B.gb_energy(p, a["charge"], br, geom)
-        e_vdw = B.vdw_energy(a["alpha"], br)
-        brw, bru = B.born_chain_factors(a["alpha"], a["charge"], br,
-                                        geom["inv_br_fp"], gb["egb_der_Y"])
-        sweep = B.descreening_sweep(geom, s, brw, bru)
-        return (gb["gb_self"] + gb["gb_pair"] + e_vdw,
-                gb["force"] + sweep["force"],
-                sweep["evdw_der_W"] + sweep["egb_der_U"])
-    print(f"pair phases total (XLA): {timeit(jax.jit(pair_all), pos, s_factor):.3f} ms")
+        def pair_all(p, s):
+            geom = B.born_radii(p, a["radii_vdw"], s, a["ishydrogen"],
+                                a["type_i"], a["type_j"], a["yflat"],
+                                a["y2flat"], ntypes_j)
+            br = geom["born_radius"]
+            gb = B.gb_energy(p, a["charge"], br, geom)
+            e_vdw = B.vdw_energy(a["alpha"], br)
+            brw, bru = B.born_chain_factors(a["alpha"], a["charge"], br,
+                                            geom["inv_br_fp"],
+                                            gb["egb_der_Y"])
+            sweep = B.descreening_sweep(geom, s, brw, bru)
+            return (gb["gb_self"] + gb["gb_pair"] + e_vdw,
+                    gb["force"] + sweep["force"],
+                    sweep["evdw_der_W"] + sweep["egb_der_U"])
+        print(f"pair phases total (XLA): "
+              f"{timeit(jax.jit(pair_all), pos, s_factor):.3f} ms")
 
-    # the production TPU path: fused Pallas pair kernels
+    # the production TPU path: fused Pallas pair kernels (dense grid and,
+    # when the model carries budgets, the interacting-tile lists)
     if sim.agbnp.pair_kernel:
         from openmm_agbnp_plugin_tpu.models.agbnp_jax import (
             _pair_phases_pallas)
 
-        def pair_pallas(p, s):
-            pp = _pair_phases_pallas(a, p, sim.agbnp.cutoff, None,
-                                     sim.agbnp.pair_pad,
-                                     sim.agbnp.pair_interpret,
-                                     horizon=sim.agbnp.descreen_horizon)(s)
-            return pp["gb_self"] + pp["gb_pair"] + pp["e_vdw"], \
-                pp["pair_force"], pp["evdw_der_W"] + pp["egb_der_U"]
-        print(f"pair phases total (Pallas): "
-              f"{timeit(jax.jit(pair_pallas), pos, s_factor):.3f} ms")
+        def mk_pair(tiles):
+            def pair_pallas(p, s):
+                pp = _pair_phases_pallas(a, p, sim.agbnp.cutoff, None,
+                                         sim.agbnp.pair_pad,
+                                         sim.agbnp.pair_interpret,
+                                         horizon=sim.agbnp.descreen_horizon,
+                                         pair_tiles=tiles)(s)
+                return pp["gb_self"] + pp["gb_pair"] + pp["e_vdw"], \
+                    pp["pair_force"], pp["evdw_der_W"] + pp["egb_der_U"]
+            return pair_pallas
+        print(f"pair phases total (Pallas dense): "
+              f"{timeit(jax.jit(mk_pair(None)), pos, s_factor):.3f} ms")
+        if sim.agbnp.pair_tiles is not None:
+            print(f"pair phases total (Pallas tile lists "
+                  f"{sim.agbnp.pair_tiles}): "
+                  f"{timeit(jax.jit(mk_pair(sim.agbnp.pair_tiles)), pos, s_factor):.3f} ms")
 
     if sim.mm is not None:
         def mm_bonded(p):

@@ -144,24 +144,44 @@ class Context:
         self._positions = None
 
     def setPeriodicBoxVectors(self, a, b, c):
-        """Orthorhombic periodic box (used with CutoffPeriodic).  Accepts
-        the three box vectors; off-diagonal (triclinic) components must be
-        zero.  The pair phases then use minimum-image deltas, the documented
-        CutoffPeriodic semantics (reference AGBNPForce.h:55)."""
+        """Periodic box (used with CutoffPeriodic): orthorhombic or
+        reduced-form triclinic, the general OpenMM periodic-box semantics
+        the reference inherits (AGBNPForce.h:55).  Triclinic vectors must
+        be in OpenMM reduced form — a=(ax,0,0), b=(bx,by,0), c=(cx,cy,cz)
+        with |bx|,|cx| <= ax/2 and |cy| <= by/2 — under which the
+        sequential c/b/a minimum-image wrap (ops/born.py::min_image) is
+        exact for pair distances below half the box widths.  The pair
+        phases then use minimum-image deltas."""
         vecs = np.array([a, b, c], dtype=np.float64)
-        diag = np.diag(np.diag(vecs))
-        if not np.allclose(vecs, diag):
-            raise ValueError("only orthorhombic periodic boxes are supported")
-        if np.any(np.diag(vecs) <= 0):
+        if not np.allclose(vecs[np.triu_indices(3, 1)], 0.0):
+            raise ValueError(
+                "box vectors must be in reduced form: a=(ax,0,0), "
+                "b=(bx,by,0), c=(cx,cy,cz)")
+        ax, by, cz = np.diag(vecs)
+        if ax <= 0 or by <= 0 or cz <= 0:
             raise ValueError("box lengths must be positive")
-        self._box = np.diag(vecs)
+        if (abs(vecs[1, 0]) > 0.5 * ax or abs(vecs[2, 0]) > 0.5 * ax
+                or abs(vecs[2, 1]) > 0.5 * by):
+            raise ValueError(
+                "triclinic box is not in reduced form (|bx|,|cx| <= ax/2, "
+                "|cy| <= by/2); reduce the lattice vectors first")
+        # orthorhombic boxes keep the compact [3] representation (faster
+        # component-wise wrap in every pair kernel)
+        if np.allclose(vecs, np.diag(np.diag(vecs))):
+            self._box = np.diag(vecs).copy()
+        else:
+            self._box = vecs
         if getattr(self, "_force", None) is not None:
             self.reinitialize_force(self._force)
 
     def getPeriodicBoxVectors(self):
+        """The three box vectors as rows of a [3, 3] array (None when no
+        box is set)."""
         if self._box is None:
             return None
-        return tuple(np.diag(self._box))
+        if self._box.ndim == 1:
+            return np.diag(self._box)
+        return self._box.copy()
 
     def reinitialize_force(self, force: AGBNPForce):
         from ..models.agbnp_jax import AGBNPModel
@@ -209,7 +229,9 @@ class Context:
             # solute.  Coordinates wrapped across the periodic boundary
             # would silently break the cavity term, so guard on extent.
             extent = self._positions.max(axis=0) - self._positions.min(axis=0)
-            if (extent > 0.75 * self._box).any():
+            widths = (self._box if self._box.ndim == 1
+                      else np.diag(self._box))
+            if (extent > 0.75 * widths).any():
                 import warnings
                 warnings.warn(
                     "solute extent approaches the periodic box; if the "

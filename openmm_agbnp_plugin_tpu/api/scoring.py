@@ -64,11 +64,18 @@ class ConformerScorer:
         if self._is_v2:
             # AGBNP2 batch scoring: shared capacities sized from the first
             # conformer (regrown from the batched [18] overflow vector on
-            # demand); MS candidate pairs rebuilt per conformer on device
+            # demand); MS candidate pairs rebuilt per conformer on device.
+            # caps plumbs through; caps_boost is a version-0/1 tree-sizing
+            # knob (AGBNP2 sizes its two trees internally, ms_boost).
             from ..models.agbnp2_jax import AGBNP2Model, ms_pair_cutoff
 
+            if mixed:
+                raise ValueError(
+                    "mixed=True is a version-0/1 option; AGBNP2 scoring "
+                    "runs the f32 (or f64) pipeline directly")
             self._model = AGBNP2Model(force.to_params(), dtype=dtype,
-                                      positions=pos, cutoff=cutoff)
+                                      positions=pos, cutoff=cutoff,
+                                      caps=caps)
             self._ms_rcut = ms_pair_cutoff(self._model.params.radii_vdw)
             heavy = np.asarray(self._model.params.ishydrogen) == 0
             from ..md.simulation import _host_max_neighbors
@@ -93,17 +100,22 @@ class ConformerScorer:
         """Parameter-only refresh (AGBNPForce.cpp:76-78 semantics): swaps
         the jit-argument arrays; the compiled batch executable is reused
         when every static shape is unchanged."""
+        self._force = force or self._force
         if self._is_v2:
             from ..models.agbnp2_jax import AGBNP2Model
 
             m2 = self._model
             self._model = AGBNP2Model(
-                (force or self._force).to_params(), dtype=m2.dtype,
+                self._force.to_params(), dtype=m2.dtype,
                 positions=np.asarray(self._pos0), cutoff=m2.cutoff,
                 caps=m2.caps, caps_ms=m2.caps_ms, cap_ms=m2.cap_ms,
                 ms_kmax=m2.ms_kmax, ms_sub_k=m2.ms_sub_k)
+            # the cached vmapped jit closes over the old model's arrays and
+            # static config (common_gamma, roffset, ntypes_j, caps) — it
+            # must be rebuilt or score() keeps computing with stale params
+            self._v2_jit = None
             return
-        self._model.update_params((force or self._force).to_params())
+        self._model.update_params(self._force.to_params())
 
     def _shard(self, pos_batch):
         """Pad the batch to a device multiple and shard the leading axis."""

@@ -722,31 +722,54 @@ class Simulation:
         return dict(ns_day=ns_day, elapsed_s=elapsed, steps_per_s=nsteps / elapsed,
                     final_pos=pos, final_vel=vel, tree_counts_max=counts,
                     neighbor_max=int(nbmax), overflow=overflow,
-                    energies=np.asarray(energies))
+                    regrows=attempt, energies=np.asarray(energies))
 
     def _check_overflow(self, counts, nbmax, sibs, wu=None) -> bool:
         if self.agbnp2 is not None:
             return self._check_overflow_v2(counts)
+        return bool(self.overflow_report(counts, nbmax, sibs, wu))
+
+    def overflow_report(self, counts, nbmax, sibs, wu=None) -> dict:
+        """Which PanicButton channels overflowed: {channel: (seen, cap)}.
+
+        Empty dict = clean run.  Channels: tree level caps, sibling
+        enumeration windows, neighbor kmax (also carries cell-grid capacity
+        overflow as kmax+1), compacted-WU per-level caps, and the
+        interacting-tile-list budgets.  The per-channel accounting is what
+        the reference's PanicButton readback distinguishes via separate
+        device flags (OpenCLAGBNPKernels.cpp:3598-3634)."""
+        rep = {}
         caps = np.asarray(self.agbnp.caps.caps)
         offs = np.asarray(self.agbnp.caps.offs)
+        counts = np.asarray(counts)
+        for i, (c, c0) in enumerate(zip(counts[:len(caps)], caps)):
+            if int(c) > int(c0):
+                rep[f"tree_level{i + 1}"] = (int(c), int(c0))
         # the deepest level's sibling groups are never enumerated further
         # (MAX_ORDER truncation, reference gaussvol.cpp:211), so only the
         # windows that actually generate children can overflow
-        sib_over = (np.asarray(sibs)[: len(offs)] - 1) > offs
-        wu_over = False
+        sibs = np.asarray(sibs)
+        for i, (sb, o0) in enumerate(zip(sibs[:len(offs)], offs)):
+            if int(sb) - 1 > int(o0):
+                rep[f"sibling_window{i + 1}"] = (int(sb) - 1, int(o0))
+        if int(nbmax) > self.kmax:
+            rep["neighbor_kmax"] = (int(nbmax), int(self.kmax))
         if wu is not None and getattr(self, "_vdw_caps", None) is not None:
             # a WU kept-row count past its compact capacity means live rows
             # were truncated out of the WU force pass: regrow
-            wu_over = (np.asarray(wu) > np.asarray(self._vdw_caps[1])).any()
-        counts = np.asarray(counts)
-        tiles_over = False
+            for i, (k, o) in enumerate(zip(np.asarray(wu),
+                                           self._vdw_caps[1])):
+                if int(k) > int(o):
+                    rep[f"wu_compact_level{i + 1}"] = (int(k), int(o))
         if counts.shape[0] > len(caps) and self.agbnp.pair_tiles is not None:
             # trailing entries: interacting-tile-list in-range counts
             cb, cg = counts[len(caps):len(caps) + 2]
             lb, lg = self.agbnp.pair_tiles
-            tiles_over = bool(cb > lb or (lg is not None and cg > lg))
-        return bool((counts[:len(caps)] > caps).any() or sib_over.any()
-                    or int(nbmax) > self.kmax or wu_over or tiles_over)
+            if int(cb) > int(lb):
+                rep["tile_list_born"] = (int(cb), int(lb))
+            if lg is not None and int(cg) > int(lg):
+                rep["tile_list_gb"] = (int(cg), int(lg))
+        return rep
 
     def _check_overflow_v2(self, countsvec) -> bool:
         """AGBNP2 overflow test over the [18] diagnostics vector."""

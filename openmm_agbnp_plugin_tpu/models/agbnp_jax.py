@@ -214,7 +214,10 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
 
     n = pos.shape[0]
     tile = PK.pick_tile(n)
-    boxv = None if box is None else tuple(float(x) for x in np.asarray(box))
+    # static box for the kernels: 3 floats (orthorhombic) or 9 (reduced
+    # triclinic rows a;b;c — ops/pallas/pairs.py::_pair_geom)
+    boxv = (None if box is None
+            else tuple(float(x) for x in np.asarray(box).reshape(-1)))
     rperm = a["rperm"]
     rinv = a["rinv"]
     pos_p = pos[rperm]
@@ -598,15 +601,16 @@ class AGBNPModel:
         # interacting-tile lists for the pair sweeps: budgets sized from the
         # initial configuration (None = auto when possible; False = dense
         # grids; explicit (lb, lg) from a PanicButton regrow).
-        # Auto is capped at 8k atoms: above it the list kernels crash the
-        # remote TPU worker (observed round 4 at 10,240 — the dense-grid MD
-        # window runs clean at the same scale), and the lists are measured
-        # perf-neutral on compact proteins anyway (benchmarks/RESULTS.md);
-        # pass pair_tiles=True explicitly to force them on large systems.
+        # Round 4 capped auto at 8k atoms after remote-worker crashes at
+        # 10,240; round 5 re-probed after the chunked-build HBM fix
+        # (benchmarks/probe_tiles_large.py): single evals AND MD windows
+        # run clean with the lists at 10,240 (112.6 ms/step) and 16,384
+        # (233.2 ms/step) — the crash was the AOT HBM pressure, not the
+        # list kernels — so the gate is lifted.  The Q/dQ save path stays
+        # memory-bounded per list budget (lqd in _pair_phases_pallas).
         if pair_tiles is None:
             pair_tiles = (self.pair_kernel
-                          and self._init_positions is not None
-                          and params.n <= 8192)
+                          and self._init_positions is not None)
         if pair_tiles is True:
             pair_tiles = self._sized_pair_tiles()
         self.pair_tiles = pair_tiles if pair_tiles else None

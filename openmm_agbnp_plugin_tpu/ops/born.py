@@ -118,19 +118,38 @@ def agbnp_swf_invbr(beta):
     return jnp.where(pos, t, a), fp
 
 
+def min_image(delta, box):
+    """Minimum-image wrap of pair deltas [..., 3].
+
+    box [3]: orthorhombic edge lengths (component-wise wrap).
+    box [3, 3]: OpenMM-reduced triclinic row vectors a=(ax,0,0),
+    b=(bx,by,0), c=(cx,cy,cz) — sequential wrap along c, then b, then a
+    (exact nearest-image for pair distances below half the reduced box
+    widths, the same validity bound OpenMM's periodic kernels carry).
+    The wrap is locally constant in positions, so the analytic force
+    formulas downstream are unchanged.
+    """
+    box = jnp.asarray(box, delta.dtype)
+    if box.ndim == 1:
+        return delta - box * jnp.round(delta / box)
+    a, b, c = box[0], box[1], box[2]
+    delta = delta - jnp.round(delta[..., 2:3] / c[2]) * c
+    delta = delta - jnp.round(delta[..., 1:2] / b[1]) * b
+    delta = delta - jnp.round(delta[..., 0:1] / a[0]) * a
+    return delta
+
+
 def _pair_geometry(pos, box=None):
     """dist[i,j] = pos[j] - pos[i]; d and 1/d with safe diagonal.
 
-    With box (orthorhombic [3] lengths), deltas are minimum-image wrapped —
-    the CutoffPeriodic semantics documented by the reference API
-    (AGBNPForce.h:55: "each particle interacts only with the nearest
-    periodic copy").  The wrap is locally constant in positions, so the
-    analytic force formulas downstream are unchanged.
+    With box ([3] orthorhombic lengths or [3, 3] reduced triclinic
+    vectors), deltas are minimum-image wrapped — the CutoffPeriodic
+    semantics documented by the reference API (AGBNPForce.h:55: "each
+    particle interacts only with the nearest periodic copy").
     """
     dist = pos[None, :, :] - pos[:, None, :]
     if box is not None:
-        b = box[None, None, :]
-        dist = dist - b * jnp.round(dist / b)
+        dist = min_image(dist, box)
     d2 = jnp.sum(dist * dist, axis=-1)
     n = pos.shape[0]
     eye = jnp.eye(n, dtype=bool)
@@ -255,8 +274,7 @@ def pair_phases_rows(pos_blk, row_ids, pos, radii_vdw_blk, s_factor,
     n = pos.shape[0]
     dist = pos[None, :, :] - pos_blk[:, None, :]  # [nb, N, 3], j - i
     if box is not None:
-        b = box[None, None, :]
-        dist = dist - b * jnp.round(dist / b)
+        dist = min_image(dist, box)
     d2 = jnp.sum(dist * dist, axis=-1)
     eye = row_ids[:, None] == jnp.arange(n)[None, :]
     d2_safe = jnp.where(eye, 1.0, d2)

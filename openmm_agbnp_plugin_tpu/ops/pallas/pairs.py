@@ -197,15 +197,26 @@ def _tile_spline(rowY_blk, cols_oh_blk, d, mask, ntj, deriv,
 
 
 def _pair_geom(pxr, pyr, pzr, pxc, pyc, pzc, box):
-    """Tile deltas dx,dy,dz [TI,TJ] = pos_j - pos_i (min-image if box)."""
+    """Tile deltas dx,dy,dz [TI,TJ] = pos_j - pos_i (min-image if box).
+
+    box is a static tuple: 3 floats (orthorhombic edge lengths) or 9
+    floats (reduced triclinic row vectors a;b;c row-major, sequential
+    c/b/a wrap — same convention as ops/born.py::min_image)."""
     dx = pxc[0][None, :] - pxr[0][:, None]
     dy = pyc[0][None, :] - pyr[0][:, None]
     dz = pzc[0][None, :] - pzr[0][:, None]
-    if box is not None:
+    if box is not None and len(box) == 3:
         bx, by, bz = box
         dx = dx - bx * jnp.round(dx * (1.0 / bx))
         dy = dy - by * jnp.round(dy * (1.0 / by))
         dz = dz - bz * jnp.round(dz * (1.0 / bz))
+    elif box is not None:
+        ax, _, _, bx, by, _, cx, cy, cz = box
+        k = jnp.round(dz * (1.0 / cz))
+        dx, dy, dz = dx - k * cx, dy - k * cy, dz - k * cz
+        k = jnp.round(dy * (1.0 / by))
+        dx, dy = dx - k * bx, dy - k * by
+        dx = dx - ax * jnp.round(dx * (1.0 / ax))
     d2 = dx * dx + dy * dy + dz * dz
     return dx, dy, dz, d2
 
@@ -273,8 +284,9 @@ def build_tile_list(ci, ri, cj, rj, rng_dist: float, lmax: int,
     nti, ntj = ri.shape[0], rj.shape[0]
     dc = ci.T[:, None, :] - cj.T[None, :, :]
     if box is not None:
-        b = jnp.asarray(box, dc.dtype)
-        dc = dc - b * jnp.round(dc / b)
+        from ..born import min_image
+        dc = min_image(dc, jnp.asarray(box, dc.dtype).reshape(-1, 3)
+                       if len(box) == 9 else jnp.asarray(box, dc.dtype))
     dmin = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - ri[:, None] - rj[None, :]
     ok = dmin < rng_dist
     if triangular:
@@ -317,8 +329,15 @@ def host_tile_count(pos_row, valid_row, pos_col, valid_col, tile: int,
     cj, rj = bounds(_np.asarray(pos_col, _np.float64), _np.asarray(valid_col))
     dc = ci.T[:, None, :] - cj.T[None, :, :]
     if box is not None:
-        b = _np.asarray(box, _np.float64)
-        dc = dc - b * _np.round(dc / b)
+        b = _np.asarray(box, _np.float64).reshape(-1, 3)
+        if b.shape[0] == 1:
+            b = b[0]
+            dc = dc - b * _np.round(dc / b)
+        else:
+            a_, b_, c_ = b
+            dc = dc - _np.round(dc[..., 2:3] / c_[2]) * c_
+            dc = dc - _np.round(dc[..., 1:2] / b_[1]) * b_
+            dc = dc - _np.round(dc[..., 0:1] / a_[0]) * a_
     dmin = _np.sqrt((dc ** 2).sum(-1)) - ri[:, None] - rj[None, :]
     ok = dmin < rng_dist
     if triangular:

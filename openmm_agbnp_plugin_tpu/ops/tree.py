@@ -60,6 +60,36 @@ NUM_TREE_LEVELS = MAX_ORDER - 1  # 7
 # indices_are_sorted) is the production reduction.
 
 
+# --- collective byte accounting (trace-time, exact) ----------------------
+# Shapes under jit are static, so recording each collective's operand size
+# at trace time gives the exact per-step communication volume — the
+# accounting works identically on the virtual CPU mesh and real chips.
+_COMM_LOG = None
+
+
+def start_comm_log() -> list:
+    """Begin recording every TreeComm/pair-phase collective traced from now
+    on; returns the live list (entries: dict(kind, shape, dtype, bytes,
+    ndev))."""
+    global _COMM_LOG
+    _COMM_LOG = []
+    return _COMM_LOG
+
+
+def stop_comm_log() -> list:
+    global _COMM_LOG
+    log, _COMM_LOG = _COMM_LOG, None
+    return log
+
+
+def record_comm(kind: str, x, ndev: int):
+    if _COMM_LOG is not None:
+        _COMM_LOG.append(dict(
+            kind=kind, shape=tuple(int(s) for s in x.shape),
+            dtype=str(x.dtype),
+            bytes=int(np.prod(x.shape)) * x.dtype.itemsize, ndev=ndev))
+
+
 @dataclasses.dataclass(frozen=True)
 class TreeComm:
     """Collective hooks that let the fixed-topology passes run on row
@@ -82,15 +112,18 @@ class TreeComm:
 
     def full(self, x):
         """Row block -> replicated full rows."""
+        record_comm("all_gather", x, self.ndev)
         return jax.lax.all_gather(x, self.axis, axis=0, tiled=True)
 
     def reduce_blocks(self, x):
         """Full-space partial sums -> this device's row block of the total."""
+        record_comm("psum_scatter", x, self.ndev)
         return jax.lax.psum_scatter(x, self.axis, scatter_dimension=0,
                                     tiled=True)
 
     def reduce_full(self, x):
         """Full-space partial sums -> replicated total."""
+        record_comm("psum", x, self.ndev)
         return jax.lax.psum(x, self.axis)
 
 

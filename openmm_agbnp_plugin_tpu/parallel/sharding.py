@@ -88,8 +88,10 @@ def sharded_pair_phases(mesh: Mesh, a: dict, ntypes_j: int, cutoff=None,
 
     def kernel(pos_blk, row_blk, radii_blk, ti_blk, ch_blk, al_blk,
                pos, s_factor, ish, tj, yflat, y2flat, charge):
-        psum = partial(jax.lax.psum, axis_name=axis)
-        gather = partial(jax.lax.all_gather, axis_name=axis, tiled=True)
+        psum = _logged_collective("psum", partial(
+            jax.lax.psum, axis_name=axis), ndev)
+        gather = _logged_collective("all_gather", partial(
+            jax.lax.all_gather, axis_name=axis, tiled=True), ndev)
         return B.pair_phases_rows(
             pos_blk, row_blk, pos, radii_blk, s_factor, ish, ti_blk, tj,
             yflat, y2flat, ntypes_j, ch_blk, charge, al_blk, cutoff=cutoff,
@@ -127,6 +129,20 @@ def sharded_pair_phases(mesh: Mesh, a: dict, ntypes_j: int, cutoff=None,
                     evdw_der_W=out["evdw_der_W"], egb_der_U=out["egb_der_U"])
 
     return fn
+
+
+def _logged_collective(kind, fn, ndev):
+    """Route a collective through the trace-time byte accounting in
+    ops/tree.py (start_comm_log/stop_comm_log); identity wrapper when no
+    log is active."""
+    from ..ops.tree import record_comm
+
+    def wrapped(x, *args, **kw):
+        for leaf in jax.tree.leaves(x):
+            record_comm(kind, leaf, ndev)
+        return fn(x, *args, **kw)
+
+    return wrapped
 
 
 def _shard_topology(topology, ndev: int):
@@ -194,8 +210,10 @@ def sharded_energy_forces(mesh: Mesh, a: dict, roffset: float, ntypes_j: int,
         f_cav = -(red1["dr"] + red2["dr"])
         s_factor = red2["self_volume"] / rep["vol_vdw_all"]
 
-        psum = _partial(jax.lax.psum, axis_name=axis)
-        gather = _partial(jax.lax.all_gather, axis_name=axis, tiled=True)
+        psum = _logged_collective("psum", _partial(
+            jax.lax.psum, axis_name=axis), ndev)
+        gather = _logged_collective("all_gather", _partial(
+            jax.lax.all_gather, axis_name=axis, tiled=True), ndev)
         pp = B.pair_phases_rows(
             pos_blk, row_blk, pos, radii_blk, s_factor, rep["ish"], ti_blk,
             rep["type_j"], rep["yflat"], rep["y2flat"], ntypes_j, ch_blk,

@@ -210,9 +210,74 @@ def test_cutoff_periodic_requires_box(gaussvol_system):
     force.setNonbondedMethod(NonbondedMethod.CutoffPeriodic)
     with pytest.raises(ValueError, match="box"):
         Context(force, dtype=np.float64)
-    with pytest.raises(ValueError, match="orthorhombic"):
+    # a is not (ax, 0, 0): not in reduced form
+    with pytest.raises(ValueError, match="reduced form"):
         Context(force, dtype=np.float64,
                 box=((5.0, 0.1, 0), (0, 5.0, 0), (0, 0, 5.0)))
+    # tilt exceeding the ax/2 reduction bound
+    with pytest.raises(ValueError, match="reduced form"):
+        Context(force, dtype=np.float64,
+                box=((5.0, 0, 0), (3.0, 5.0, 0), (0, 0, 5.0)))
+
+
+def test_min_image_triclinic_matches_image_search():
+    """The sequential c/b/a wrap equals brute-force 27-image minimum
+    distances for random reduced triclinic cells (within the half-width
+    validity bound)."""
+    from openmm_agbnp_plugin_tpu.ops.born import min_image
+
+    rng = np.random.default_rng(11)
+    box = np.array([[4.0, 0.0, 0.0],
+                    [1.7, 3.6, 0.0],
+                    [-1.9, 1.5, 3.3]])
+    pts = rng.uniform(-6.0, 6.0, size=(40, 3))
+    delta = pts[None, :, :] - pts[:, None, :]
+    wrapped = np.asarray(min_image(delta, box))
+    d_wrap = np.linalg.norm(wrapped, axis=-1)
+    shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for k in (-1, 0, 1)], dtype=np.float64) @ box
+    d_img = np.min(np.linalg.norm(
+        delta[:, :, None, :] + shifts[None, None, :, :], axis=-1), axis=-1)
+    # the sequential wrap is exact below half the reduced widths; compare
+    # there (the pair phases only consume distances below the cutoff/
+    # horizon, far inside that bound)
+    half = 0.5 * min(box[0, 0], box[1, 1], box[2, 2])
+    m = d_img < half
+    np.testing.assert_allclose(d_wrap[m], d_img[m], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_cutoff_periodic_triclinic_lattice_invariance():
+    """Translating an isolated atom by a TRICLINIC lattice vector leaves
+    the periodic energy and forces unchanged — the general periodic-box
+    semantics the reference inherits from OpenMM (AGBNPForce.h:55)."""
+    rng = np.random.default_rng(5)
+    cluster = 0.30 * rng.standard_normal((6, 3))
+    lone = np.array([[1.4, 0.4, 0.3]])
+    pos = np.vstack([cluster, lone])
+    n = pos.shape[0]
+    box = ((3.2, 0.0, 0.0), (0.9, 3.1, 0.0), (-0.8, 1.1, 3.4))
+
+    def make_ctx():
+        f = AGBNPForce()
+        f.setVersion(1)
+        for i in range(n):
+            f.addParticle(0.165, 48.9528, -60.0, (-1.0) ** i * 0.2, False)
+        f.setNonbondedMethod(NonbondedMethod.CutoffPeriodic)
+        f.setCutoffDistance(1.2)
+        return Context(f, dtype=np.float64, box=box)
+
+    ctx = make_ctx()
+    ctx.setPositions(pos)
+    e0, f0 = ctx.getEnergyForces()
+    for vec in np.asarray(box):
+        pos_shift = pos.copy()
+        pos_shift[-1] += vec
+        ctx.setPositions(pos_shift)
+        e1, f1 = ctx.getEnergyForces()
+        assert float(e1) == pytest.approx(float(e0), rel=1e-12)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                   rtol=1e-10)
 
 
 def test_cutoff_periodic_warns_on_straddling_extent(gaussvol_system):

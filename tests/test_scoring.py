@@ -161,6 +161,37 @@ def test_update_parameters_batch(small_system):
 
 
 @pytest.mark.slow
+def test_update_parameters_batch_v2(small_system):
+    """The v2 scorer's cached vmapped jit closes over model config; a
+    parameter update must rebuild it (and a later capacity regrow must use
+    the UPDATED force), or scores silently come from the old parameters."""
+    params, pos = small_system
+    n = 40
+    from openmm_agbnp_plugin_tpu.models.oracle import AGBNPParams
+    p40 = AGBNPParams(radius=params.radius[:n], gamma=params.gamma[:n],
+                      alpha=params.alpha[:n], charge=params.charge[:n],
+                      ishydrogen=params.ishydrogen[:n])
+    pos = pos[:n]
+    force = _build_force(p40, version=2)
+    batch = _conformers(pos, nb=2, scale=0.005)
+    scorer = ConformerScorer(force, pos, dtype=np.float64)
+    e0 = scorer.score(batch)["energy"]
+    for i in range(n):
+        r, g, a, q, h = force.getParticleParameters(i)
+        force.setParticleParameters(i, r, g * 2.0, a, q, h)
+    scorer.updateParametersInContext(force)
+    e1 = scorer.score(batch)["energy"]
+    assert not np.allclose(e0, e1)
+    fresh = ConformerScorer(force, pos, dtype=np.float64)
+    np.testing.assert_allclose(e1, fresh.score(batch)["energy"], rtol=1e-10)
+    # regrow after the update must rebuild from the NEW parameters
+    bump = np.array([int(scorer.model.caps.caps[0]) + 1] + [0] * 17)
+    assert scorer._regrow_v2(bump) is True
+    e2 = scorer.score(batch)["energy"]
+    np.testing.assert_allclose(e2, e1, rtol=1e-10)
+
+
+@pytest.mark.slow
 def test_refine_lowers_energy(small_system):
     """Batched FIRE refinement: every pose's energy drops, and the refined
     scores equal a fresh scoring of the refined coordinates."""
