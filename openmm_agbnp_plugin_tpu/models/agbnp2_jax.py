@@ -621,6 +621,17 @@ class AGBNP2Model:
                                        .sum(axis=1).max()))
                 ms_sub_k = min(int(np.ceil(seen * 1.5 / 16) * 16),
                                int(heavy.sum()))
+                # the [cap_ms, k] neighbor-bounded subtraction replaces a
+                # gather-free dense [cap_ms, N] broadcast with k-wide
+                # row-serial gathers (cap_ms*k gather rows per call —
+                # ~10 ns/row on this runtime, and the gather graphs also
+                # multiply compile time: measured 2.7x step cost and a
+                # ~20-min compile on trp-cage, round 5).  Dense costs
+                # cap_ms*N elementwise at HBM bandwidth, so it wins until
+                # the [cap_ms, N] buffers stop fitting comfortably; use
+                # the bounded mode only past that memory crossover.
+                if self.cap_ms * params.n <= (1 << 26):
+                    ms_sub_k = 0
             else:
                 ms_sub_k = 16
         self.ms_sub_k = int(ms_sub_k)

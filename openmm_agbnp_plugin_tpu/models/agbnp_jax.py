@@ -240,9 +240,15 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
 
     # share Q/dQ between the Born and descreening sweeps (one spline
     # contraction instead of two) unless the [NP, NHP] tile buffers would
-    # be unreasonably large in HBM (>1 GB for the pair)
+    # be unreasonably large in HBM (>1 GB for the pair).
+    # AGBNP_TILES_NO_QD=1 forces the recompute mode everywhere — the
+    # reduced-HBM lever for very large systems (descreening then re-runs
+    # its own spline contraction; measured ~20% slower on the sweeps,
+    # benchmarks/micro_pairs_floor.py)
+    import os as _os
+    no_qd = _os.environ.get("AGBNP_TILES_NO_QD") == "1"
     nhpad = int(a["hids_pad"].shape[0])
-    save_qd = pair_pad * nhpad * 8 <= (1 << 30)
+    save_qd = pair_pad * nhpad * 8 <= (1 << 30) and not no_qd
 
     heff = float(PK.AGBNP_I4LOOKUP_MAXA if horizon is None
                  else min(horizon, PK.AGBNP_I4LOOKUP_MAXA))
@@ -267,7 +273,7 @@ def _pair_phases_pallas(a, pos, cutoff, box, pair_pad: int,
             # share Q/dQ between the two list sweeps when the per-entry
             # saved tiles fit a reasonable HBM budget (they scale with the
             # LIST, not the full pair space)
-            lqd = pair_tiles[0] * tile * tile * 8 <= (1 << 30)
+            lqd = pair_tiles[0] * tile * tile * 8 <= (1 << 30) and not no_qd
             born_out = PK.born_sums_tiles(nv_b, tl_b, pos_pad, pos_hpad,
                                           hids_k, a["rowY_pad"],
                                           a["cols_oh_hpad"], s_h,

@@ -115,7 +115,12 @@ def test_agbnp2_neighbor_bounded_free_volumes(small_system):
 
     m_dense = AGBNP2Model(params, dtype=np.float64, positions=pos,
                           ms_sub_k=0)
-    m_nbr = AGBNP2Model(params, dtype=np.float64, positions=pos)
+    # auto mode falls back to the dense form on small systems (the k-wide
+    # gathers only pay when the horizon prunes hard — round-5 gate), so
+    # request the neighbor-bounded mode explicitly for the parity check
+    nheavy = int((params.ishydrogen == 0).sum())
+    m_nbr = AGBNP2Model(params, dtype=np.float64, positions=pos,
+                        ms_sub_k=nheavy)
     assert m_nbr.ms_sub_k > 0
     e_d, f_d = m_dense.energy_forces(pos)
     e_n, f_n = m_nbr.energy_forces(pos)
