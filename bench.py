@@ -153,6 +153,29 @@ def main():
             v = measure(f"ns_day_{sysname}_agbnp1_lut_horizon", SYSTEM, None)
             if v is not None:
                 extra[f"ns_day_{sysname}_agbnp1_lut_horizon"] = v
+            # the production-throughput configuration beyond the reference
+            # protocol: 4 fs r-RESPA outer / 2 fs bonded + SHAKE/RATTLE
+            # X-H constraints, validated at protocol length for the
+            # thermostatted ensemble (benchmarks/validate_mts4.py ->
+            # mts_validation.json "<system>_mts4": T within 0.6 K of the
+            # 1 fs exact run, PE shift == the analytic 0.5 kT x n_con
+            # rigid-bond removal, NVE drift ~2.3x the 1 fs f32 noise
+            # floor — NVE-grade work should use 1 fs)
+            d4 = load_dms(os.path.join(here, "benchmarks", "data",
+                                       f"{SYSTEM}.dms"))
+            sim4 = Simulation(d4, version=1, cutoff=1.0, dtype=dtype,
+                              skin=0.25, descreen_horizon=dh,
+                              constraints=True)
+            r4 = sim4.benchmark_langevin(nsteps=max(1, nsteps // 4),
+                                         dt=0.004, temperature=300.0,
+                                         friction=1.0, neighbor_every=10,
+                                         mts_inner=2)
+            accounting[f"ns_day_{sysname}_mts4fs_constraints"] = {
+                "overflow": bool(r4["overflow"]),
+                "regrows": int(r4.get("regrows", 0))}
+            if not r4["overflow"]:
+                extra[f"ns_day_{sysname}_mts4fs_constraints"] = round(
+                    r4["ns_day"], 3)
             # large-system MD (the OpenCL backend's raison d'etre —
             # scaling): 10,240-atom synthetic protein through the
             # segmented run_md loop; step count bounded so the whole

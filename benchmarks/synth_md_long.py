@@ -24,21 +24,13 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from types import SimpleNamespace
-
-from benchmarks.synthetic_scale import synthetic_system
+from benchmarks.synthetic_scale import synthetic_dms
 from openmm_agbnp_plugin_tpu.md.simulation import Simulation
 
 
 def build_sim(natoms, dtype):
-    pos, radius, gamma, alpha, charge, ish = synthetic_system(natoms)
-    sysns = SimpleNamespace(
-        agbnp_radius=radius, agbnp_gamma=gamma, agbnp_alpha=alpha,
-        charges=charge, ishydrogen=ish, positions=pos,
-        velocities=np.zeros_like(pos),
-        masses=np.where(ish > 0, 1.008, 12.011))
-    return Simulation(sysns, version=1, cutoff=1.0, dtype=dtype,
-                      include_mm=False)
+    return Simulation(synthetic_dms(natoms), version=1, cutoff=1.0,
+                      dtype=dtype, include_mm=True)
 
 
 def main():
@@ -55,28 +47,60 @@ def main():
 
     # short heat + capacity-converge phase (not timed as production):
     # thermalizes and lets the PanicButton find steady capacities so the
-    # continuous run's wall clock is not dominated by warm-up recompiles
-    heat = sim.run_md(6 * ne, dt=0.001, neighbor_every=ne, segment=ne,
-                      scan_unroll=1, max_regrow=12)
-    sim.positions = heat["final_pos"]
-    sim.velocities = heat["final_vel"]
-    print(f"heat: {heat['regrows']} regrows", flush=True)
+    # continuous run's wall clock is not dominated by warm-up recompiles.
+    # Window-by-window with prints — every compile/regrow is visible.
+    heat_regrows = 0
+    for w in range(6):
+        t0 = time.time()
+        r = sim.run_md(ne, dt=0.001, neighbor_every=ne, segment=ne,
+                       scan_unroll=1, max_regrow=12, seed=w)
+        sim.positions = r["final_pos"]
+        sim.velocities = r["final_vel"]
+        heat_regrows += r["regrows"]
+        print(f"heat window {w}: {time.time()-t0:.0f}s "
+              f"({r['regrows']} regrows)", flush=True)
+    heat = dict(regrows=heat_regrows)
+    print(f"heat: {heat_regrows} regrows total", flush=True)
+
+    # continuous production run, checkpointed every segment; on a remote-
+    # worker crash (the round-4 instability under sustained large-N
+    # execution) resume from the last checkpoint — the recovery path this
+    # infrastructure was built for
+    from openmm_agbnp_plugin_tpu.io.checkpoint import load_checkpoint
 
     t0 = time.perf_counter()
-    res = sim.run_md(nsteps, dt=0.001, neighbor_every=ne, segment=ne,
-                     scan_unroll=1, max_regrow=12,
-                     checkpoint_path=ckpt)
+    base, kw, crashes = 0, {}, 0
+    while True:
+        try:
+            res = sim.run_md(nsteps - base, dt=0.001, neighbor_every=ne,
+                             segment=ne, scan_unroll=1, max_regrow=12,
+                             checkpoint_path=ckpt, **kw)
+            break
+        except Exception as exc:
+            crashes += 1
+            if crashes > 3 or not os.path.exists(ckpt):
+                raise
+            ck = load_checkpoint(ckpt)
+            base += int(ck["step"])  # ckpt steps count from the restart
+            kw = dict(pos=ck["positions"], vel=ck["velocities"],
+                      key=ck["key"])
+            print(f"  worker lost at ~step {base} "
+                  f"({type(exc).__name__}); resuming from checkpoint",
+                  flush=True)
+            time.sleep(60)
     wall = time.perf_counter() - t0
     e = np.asarray(res["energies"])
+    ns_day_wall = nsteps * 0.001 * 1e-3 / wall * 86400.0
     print(f"continuous {nsteps} steps: wall {wall:.1f}s -> "
-          f"{res['ns_day']:.3f} ns/day end-to-end "
-          f"({1e3*res['elapsed_s']/nsteps:.1f} ms/step), "
+          f"{ns_day_wall:.3f} ns/day end-to-end "
+          f"({1e3*wall/nsteps:.1f} ms/step incl. crashes={crashes}), "
+          f"clean-portion {res['ns_day']:.3f} ns/day "
+          f"({1e3*res['elapsed_s']/max(1, nsteps-base):.1f} ms/step), "
           f"regrows={res['regrows']}, overflow={res['overflow']}, "
           f"energies finite={bool(np.isfinite(e).all())}", flush=True)
 
     # checkpoint/restart at scale: resume the last segment boundary and
     # verify the restarted step runs clean from the saved state
-    from openmm_agbnp_plugin_tpu.io.checkpoint import load_checkpoint
     ck = load_checkpoint(ckpt)
     res2 = sim.run_md(ne, dt=0.001, neighbor_every=ne, segment=ne,
                       scan_unroll=1, pos=ck["positions"],
@@ -87,8 +111,12 @@ def main():
 
     import json
     out = dict(natoms=natoms, nsteps=nsteps,
-               ns_day_wallclock=round(res["ns_day"], 3),
-               ms_step=round(1e3 * res["elapsed_s"] / nsteps, 2),
+               ns_day_wallclock=round(ns_day_wall, 3),
+               ms_step_wallclock=round(1e3 * wall / nsteps, 2),
+               ns_day_clean=round(res["ns_day"], 3),
+               ms_step_clean=round(
+                   1e3 * res["elapsed_s"] / max(1, nsteps - base), 2),
+               worker_crashes=int(crashes),
                regrows=int(res["regrows"]), overflow=bool(res["overflow"]),
                heat_regrows=int(heat["regrows"]))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -50,7 +50,7 @@ def synthetic_system(natoms: int, seed: int = 0):
                       rng.choice([0.15, 0.16, 0.17, 0.19], size=natoms))
     gamma = np.where(ish > 0, 0.0, 48.9528)
     alpha = np.where(ish > 0, -20.0, rng.uniform(-90.0, -40.0, size=natoms))
-    charge = rng.uniform(-0.4, 0.4, size=natoms)
+    charge = rng.uniform(-0.15, 0.15, size=natoms)
     charge -= charge.mean()
     return pos, radius, gamma, alpha, charge, ish
 
@@ -88,27 +88,81 @@ def run(natoms: int, repeats: int = 10):
     return dt
 
 
+def synthetic_dms(natoms: int):
+    """The synthetic ball as a Simulation-ready BONDED system.
+
+    Round-4/5 finding: AGBNP-only dynamics (include_mm=False) has NO
+    repulsive wall — the cavity+GB+dispersion forces are net attractive at
+    contact, so the ball implodes under MD and the overlap tree grows
+    without bound (an unconvergeable PanicButton loop that looks like a
+    capacity bug but is the physics of a core-less potential).  Free LJ
+    spheres at protein density don't work either: the tree-rich packing
+    the model is built for (covalently bonded, overlapping vdW spheres)
+    puts nearest neighbors far inside any realistic LJ contact, which
+    detonates instead.  The resolution is the same as a real protein's:
+    BOND the nearest neighbors (harmonic springs, LJ-excluded) so the
+    tree-rich first-shell overlaps are held by bonds, and let LJ keep the
+    non-bonded second shell (~0.31+ nm here) at bay.  The result is a
+    dense bonded polymer ball — stable under 300 K Langevin and
+    overlap-tree-rich like a protein interior."""
+    from types import SimpleNamespace
+
+    pos, radius, gamma, alpha, charge, ish = synthetic_system(natoms)
+    # bond each atom to its 3 nearest neighbors (deduplicated): a stiff
+    # percolated network whose first-shell geometry — the part that sets
+    # the overlap-tree density — is pinned near the initial sizing, so
+    # capacity demand stays stationary under 300 K dynamics (the property
+    # a SCALING benchmark needs; a real protein gets it from its covalent
+    # topology)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pos)
+    dd, jj = tree.query(pos, k=4)
+    bonds = []
+    seen = set()
+    for i in range(natoms):
+        for m in range(1, 4):
+            j = int(jj[i, m])
+            a, b = (i, j) if i < j else (j, i)
+            if (a, b) not in seen:
+                seen.add((a, b))
+                bonds.append((a, b, float(dd[i, m])))
+    bond_idx = np.array([(a, b) for a, b, _ in bonds], np.int32)
+    bond_r0 = np.array([d for _, _, d in bonds])
+    z2 = np.zeros((0, 2), np.int32)
+    return SimpleNamespace(
+        agbnp_radius=radius, agbnp_gamma=gamma, agbnp_alpha=alpha,
+        charges=charge, ishydrogen=ish, positions=pos,
+        velocities=np.zeros_like(pos),
+        masses=np.where(ish > 0, 1.008, 12.011), n=natoms,
+        # LJ wall just inside the second-neighbor shell; bonded first
+        # neighbors are excluded below
+        lj_sigma=np.where(ish > 0, 0.22, 0.28),
+        lj_epsilon=np.where(ish > 0, 0.08, 0.30),
+        bond_idx=bond_idx, bond_r0=bond_r0,
+        bond_k=np.full(len(bonds), 1.5e5),
+        angle_idx=np.zeros((0, 3), np.int32), angle_theta0=np.zeros(0),
+        angle_k=np.zeros(0),
+        dihedral_idx=np.zeros((0, 4), np.int32),
+        dihedral_phi0=np.zeros(0), dihedral_fc=np.zeros((0, 5)),
+        exclusions=bond_idx, pair_idx=z2, pair_aij=np.zeros(0),
+        pair_bij=np.zeros(0), pair_qij=np.zeros(0))
+
+
 def run_md(natoms: int, nsteps: int = 100, scan_unroll: int = None,
            neighbor_every: int = 20, pair_tiles=None):
     """Full MD loop at synthetic scale: Langevin under the fused scan with
     on-device neighbor rebuilds, stale-topology rescans and PanicButton
     overflow recovery — Simulation duck-types the dms object, so a
     synthetic system drives the identical code path the .dms benchmarks
-    use (include_mm=False: AGBNP-only forces)."""
-    from types import SimpleNamespace
-
+    use (full MM LJ/Coulomb core + AGBNP, fused in the GB kernel)."""
     from openmm_agbnp_plugin_tpu.md.simulation import Simulation
 
-    pos, radius, gamma, alpha, charge, ish = synthetic_system(natoms)
+    sysns = synthetic_dms(natoms)
     dtype = np.float32 if jax.devices()[0].platform != "cpu" else np.float64
-    sysns = SimpleNamespace(
-        agbnp_radius=radius, agbnp_gamma=gamma, agbnp_alpha=alpha,
-        charges=charge, ishydrogen=ish, positions=pos,
-        velocities=np.zeros_like(pos),
-        masses=np.where(ish > 0, 1.008, 12.011))
     t0 = time.time()
     sim = Simulation(sysns, version=1, cutoff=1.0, dtype=dtype,
-                     include_mm=False, pair_tiles=pair_tiles)
+                     include_mm=True, pair_tiles=pair_tiles)
     print(f"n={natoms} MD init {time.time()-t0:.1f}s "
           f"tiles={sim.agbnp.pair_tiles}", flush=True)
     if scan_unroll is None:
@@ -191,8 +245,13 @@ def _run_md_windows(sim, nsteps, neighbor_every, scan_unroll,
             print(f"  {label}: overflow {rep} -> regrow "
                   f"({state['regrows']}/{max_regrow})", flush=True)
             regrew = True
+            # escalating headroom (see Simulation.run_md): each regrow
+            # pays a multi-minute recompile at this scale, so widen the
+            # margin on every retry
             sim._regrow(counts, out[4][1], np.asarray(out[4][2]),
-                        wu=np.asarray(out[4][3]))
+                        wu=np.asarray(out[4][3]),
+                        headroom=min(1.3 * 1.25 ** (state["regrows"] - 1),
+                                     2.6))
             state["run"] = make_run()
 
     # heat phase: several windows so the timed sample measures a

@@ -991,7 +991,13 @@ class Simulation:
                         "overlap-tree capacities failed to converge after "
                         f"{max_regrow} regrows")
                 regrows += 1
-                self._regrow(counts, nbmax, sibs, wu=wu)
+                # escalating headroom: on a thermalizing system every
+                # capacity channel drifts up together, and each regrow
+                # costs a full recompile (minutes through a remote-compile
+                # tunnel at 10k+ atoms) — growing the margin per retry
+                # collapses 5-6 incremental regrows into 2-3
+                self._regrow(counts, nbmax, sibs, wu=wu,
+                             headroom=min(1.3 * 1.25 ** (regrows - 1), 2.6))
                 run = self.make_langevin_runner(dt, temperature, friction,
                                                 neighbor_every=neighbor_every,
                                                 mts_inner=mts_inner,
