@@ -61,6 +61,12 @@ def main():
               f"({r['regrows']} regrows)", flush=True)
     heat = dict(regrows=heat_regrows)
     print(f"heat: {heat_regrows} regrows total", flush=True)
+    if heat_regrows:
+        # shrink-to-fit: drop the melt transient's capacity overshoot
+        # before timing (md/simulation.py::resize_caps_to_current)
+        sim.resize_caps_to_current()
+        print(f"shrink-to-fit: caps={sim.agbnp.caps.caps} "
+              f"kmax={sim.kmax}", flush=True)
 
     # continuous production run, checkpointed every segment; on a remote-
     # worker crash (the round-4 instability under sustained large-N

@@ -261,6 +261,16 @@ def _run_md_windows(sim, nsteps, neighbor_every, scan_unroll,
     for w in range(heat_windows):
         out, _, _ = advance(pos, vel, key, f"heat window {w}")
         pos, vel, key = out[0], out[1], out[2]
+    if state["regrows"]:
+        # shrink-to-fit after the transient: regrows only ever grow, so
+        # post-heat capacities carry the melt spike + escalation headroom
+        # and every padded row costs step time; re-size everything from
+        # the equilibrated configuration (PanicButton grows back if lean
+        # proves wrong — the timed loop below retries as usual)
+        sim.resize_caps_to_current(np.asarray(pos))
+        state["run"] = make_run()
+        print(f"  shrink-to-fit: caps={sim.agbnp.caps.caps} "
+              f"kmax={sim.kmax}", flush=True)
     nwin = max(1, nsteps // neighbor_every - heat_windows)
     times = []
     e = out[3]

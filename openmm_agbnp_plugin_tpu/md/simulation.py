@@ -123,6 +123,42 @@ class Simulation:
             from .constraints import Constraints
             self.constraints = Constraints.from_dms(dms)
 
+    def resize_caps_to_current(self, positions=None, caps_boost: float = 1.3):
+        """Shrink-to-fit: re-size every capacity (tree caps, neighbor kmax,
+        cell grid, WU-compact caps, tile budgets) from a fresh sizing pass
+        on the CURRENT configuration, discarding regrow history.
+
+        PanicButton regrows only ever GROW, so after a violent transient
+        (a synthetic system's initial melt, an unfolded start) the
+        converged capacities carry the transient's spike plus escalation
+        headroom, and every padded row costs real step time (~850 vs
+        ~113 ms/step measured at 10,240 atoms, benchmarks/RESULTS.md
+        round 5).  Call this once the system is equilibrated; runners
+        built before it are stale (rebuild with make_langevin_runner),
+        and if the lean capacities prove too small the normal PanicButton
+        path grows them back — safe by construction."""
+        if self.agbnp2 is not None:
+            raise ValueError("resize_caps_to_current supports versions 0/1")
+        pos = (np.asarray(self.positions) if positions is None
+               else np.asarray(positions))
+        m = self.agbnp
+        self.agbnp = AGBNPModel(
+            m.params, version=m.version, cutoff=m.cutoff, dtype=self.dtype,
+            positions=pos, mixed=m.mixed, pair_kernel=m.pair_kernel,
+            caps_boost=caps_boost, descreen_horizon=m.descreen_horizon,
+            pair_tiles=None if m.pair_tiles is not None else False)
+        heavy = np.asarray(m.params.ishydrogen) == 0
+        seen = _host_max_neighbors(pos, heavy, self.rcut_list)
+        self.kmax = int(np.ceil(seen * 1.5 / 16) * 16)
+        if self.grid is not None:
+            from ..ops.neighbors import CellGrid, cell_neighbor_pairs
+            self.grid = CellGrid(pos, self.rcut_list, heavy_mask=heavy)
+            self.neighbor_fn = partial(cell_neighbor_pairs, grid=self.grid)
+        # the lazy WU-compact sizing pass reads self.positions; point it at
+        # the configuration being sized from
+        self.positions = jnp.asarray(pos, self.dtype)
+        self._vdw_caps = None
+
     def set_velocities_to_temperature(self, temperature, seed: int = 0):
         """Maxwell-Boltzmann velocities at `temperature` (OpenMM's
         Context.setVelocitiesToTemperature analogue), COM motion removed."""
